@@ -1,0 +1,78 @@
+"""Bounding-box math for 2D (y1,x1,y2,x2) and 3D (z1,y1,x1,z2,y2,x2) boxes.
+
+Covers the reference ``empanada/array_utils.py`` box helpers
+(``box_area:46``, ``box_intersection:66``, ``merge_boxes:105``,
+``box_iou:178``).  The pairwise sparse IoU is fully vectorized numpy
+(the reference used a numba double loop building COO triplets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import csr_matrix
+
+__all__ = [
+    "box_area",
+    "box_intersection",
+    "merge_boxes",
+    "box_iou",
+]
+
+
+def box_area(boxes: np.ndarray) -> np.ndarray:
+    """Area (2D) or volume (3D) of each box in an ``(n, 2*ndim)`` array."""
+    boxes = np.asarray(boxes)
+    ndim = boxes.shape[1] // 2
+    return np.prod([boxes[:, i + ndim] - boxes[:, i] for i in range(ndim)], axis=0)
+
+
+def box_intersection(boxes1: np.ndarray, boxes2: np.ndarray | None = None) -> np.ndarray:
+    """Dense pairwise intersection area/volume matrix of shape ``(n, m)``."""
+    boxes1 = np.asarray(boxes1)
+    boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
+    ndim = boxes1.shape[1] // 2
+
+    inter = None
+    for i in range(ndim):
+        lo = np.maximum(boxes1[:, i, None], boxes2[None, :, i])
+        hi = np.minimum(boxes1[:, i + ndim, None], boxes2[None, :, i + ndim])
+        extent = np.clip(hi - lo, 0, None)
+        inter = extent if inter is None else inter * extent
+    return inter
+
+
+def merge_boxes(box1, box2):
+    """Smallest box enclosing both inputs."""
+    n = len(box1)
+    ndim = n // 2
+    return tuple(
+        min(box1[i], box2[i]) if i < ndim else max(box1[i], box2[i]) for i in range(n)
+    )
+
+
+def box_iou(boxes1, boxes2=None, return_intersection: bool = False):
+    """Pairwise IoU as a sparse CSR matrix (zeros for non-overlapping pairs)."""
+    boxes1 = np.asarray(boxes1)
+    boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
+    shape = (len(boxes1), len(boxes2))
+
+    if len(boxes1) == 0 or len(boxes2) == 0:
+        iou_csr = csr_matrix(shape, dtype=np.float64)
+        if return_intersection:
+            return iou_csr, csr_matrix(shape, dtype=np.float64)
+        return iou_csr
+
+    inter = box_intersection(boxes1, boxes2)
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    union = area1[:, None] + area2[None, :] - inter
+
+    rows, cols = np.nonzero(inter)
+    vals_inter = inter[rows, cols].astype(np.float64)
+    vals_iou = vals_inter / union[rows, cols]
+
+    iou_csr = csr_matrix((vals_iou, (rows, cols)), shape=shape)
+    if return_intersection:
+        inter_csr = csr_matrix((vals_inter, (rows, cols)), shape=shape)
+        return iou_csr, inter_csr
+    return iou_csr

@@ -1,0 +1,160 @@
+"""ctypes bindings to the native C++ kernel library (libempanada_core.so).
+
+Builds from ``empanada_tpu/csrc/core_kernels.cpp`` via the Makefile there.
+Every binding has a pure numpy/Python fallback in its calling module, so the
+framework works without the shared library (just slower on the host paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libempanada_core.so")
+_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH):
+        # try a one-shot build; never fail hard
+        try:
+            subprocess.run(
+                ["make", "-C", _SRC_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.cc_runs.argtypes = [i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int, i64p]
+    lib.cc_runs.restype = None
+
+    lib.range_intersection.argtypes = [i64p, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.range_intersection.restype = ctypes.c_int64
+
+    lib.vote_ranges.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.vote_ranges.restype = ctypes.c_int64
+
+    lib.fill_ranges_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), i64p, ctypes.c_int64, ctypes.c_int32]
+    lib.fill_ranges_i32.restype = None
+    lib.fill_ranges_i64.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.fill_ranges_i64.restype = None
+    lib.fill_ranges_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), i64p, ctypes.c_int64, ctypes.c_uint32]
+    lib.fill_ranges_u32.restype = None
+
+    lib.mask_watershed.argtypes = [
+        u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+    lib.mask_watershed.restype = None
+
+    lib.chunk_split_ranges.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.chunk_split_ranges.restype = ctypes.c_int64
+
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def connected_components_runs(values, rows, col_starts, col_ends, connectivity=8):
+    lib = _load()
+    values = _as_i64(values)
+    rows = _as_i64(rows)
+    col_starts = _as_i64(col_starts)
+    col_ends = _as_i64(col_ends)
+    n = len(values)
+    out = np.empty(n, dtype=np.int64)
+    lib.cc_runs(
+        _i64p(values), _i64p(rows), _i64p(col_starts), _i64p(col_ends),
+        n, int(connectivity), _i64p(out),
+    )
+    return out
+
+
+def range_intersection(ranges_a, ranges_b) -> int:
+    lib = _load()
+    a = _as_i64(ranges_a).reshape(-1, 2)
+    b = _as_i64(ranges_b).reshape(-1, 2)
+    return int(lib.range_intersection(_i64p(a), len(a), _i64p(b), len(b)))
+
+
+def vote_ranges(ranges, vote_thr: int) -> np.ndarray:
+    lib = _load()
+    r = _as_i64(ranges).reshape(-1, 2)
+    # stable sort by start (the kernel sorts events internally, but callers
+    # expect sorted disjoint output which the sweep produces)
+    out = np.empty_like(r).reshape(-1, 2)
+    n_out = lib.vote_ranges(_i64p(r), len(r), int(vote_thr), _i64p(out))
+    return out[:n_out].copy()
+
+
+def fill_ranges(flat: np.ndarray, ranges, value):
+    lib = _load()
+    r = _as_i64(ranges).reshape(-1, 2)
+    if flat.dtype == np.int32:
+        lib.fill_ranges_i32(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _i64p(r), len(r),
+            ctypes.c_int32(int(value)))
+    elif flat.dtype == np.uint32:
+        lib.fill_ranges_u32(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), _i64p(r), len(r),
+            ctypes.c_uint32(int(value)))
+    elif flat.dtype == np.int64:
+        lib.fill_ranges_i64(_i64p(flat), _i64p(r), len(r), ctypes.c_int64(int(value)))
+    else:
+        raise TypeError(f"unsupported fill dtype {flat.dtype}")
+
+
+def mask_watershed(mask_flat: np.ndarray, marker_locations, neighborhood, output_flat: np.ndarray):
+    lib = _load()
+    mask_flat = np.ascontiguousarray(mask_flat, dtype=np.uint8)
+    ml = _as_i64(marker_locations)
+    nb = _as_i64(neighborhood)
+    assert output_flat.dtype == np.int64 and output_flat.flags.c_contiguous
+    lib.mask_watershed(
+        mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mask_flat),
+        _i64p(ml), len(ml), _i64p(nb), len(nb), _i64p(output_flat),
+    )
+
+
+def chunk_split_ranges(ranges, modulo: int, divisor: int) -> np.ndarray:
+    lib = _load()
+    r = _as_i64(ranges).reshape(-1, 2)
+    # capacity: each range can cross at most ceil(len/divisor)+1 boundaries
+    lens = (r[:, 1] - r[:, 0]) if len(r) else np.zeros(0, dtype=np.int64)
+    cap = int(len(r) + (lens // max(divisor, 1)).sum() + len(r) + 8)
+    out = np.empty((cap, 2), dtype=np.int64)
+    n_out = lib.chunk_split_ranges(_i64p(r), len(r), int(modulo), int(divisor), _i64p(out), cap)
+    if n_out < 0:
+        raise RuntimeError("chunk_split_ranges capacity overflow")
+    return out[:n_out].copy()

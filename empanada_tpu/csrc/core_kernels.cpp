@@ -1,0 +1,232 @@
+// Native host kernels for empanada_tpu.
+//
+// These replace the reference's numba nopython kernels
+// (empanada/array_utils.py, empanada/zarr_utils.py,
+//  empanada/inference/watershed.py) with C++ implementations exposed via a
+// plain C ABI and loaded through ctypes (no pybind11 in this environment).
+//
+// Everything here is host-side stitching/IO work: connected components over
+// RLE runs, two-pointer RLE set ops, k-of-n pixel voting, instance filling,
+// and the inherently sequential heap watershed.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Union-find connected components over horizontal runs.
+// Runs must be sorted row-major (guaranteed by extract_runs).
+// Two runs connect iff |row diff| == 1, same value, and column intervals
+// touch (8-connectivity pads by 1 for diagonal adjacency).
+// Output comp ids are numbered 1..k in order of first appearance.
+// ---------------------------------------------------------------------------
+
+static int64_t uf_find(std::vector<int64_t>& parent, int64_t x) {
+    int64_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+        int64_t next = parent[x];
+        parent[x] = root;
+        x = next;
+    }
+    return root;
+}
+
+static void uf_union(std::vector<int64_t>& parent, int64_t a, int64_t b) {
+    int64_t ra = uf_find(parent, a);
+    int64_t rb = uf_find(parent, b);
+    if (ra == rb) return;
+    if (ra < rb) parent[rb] = ra; else parent[ra] = rb;
+}
+
+void cc_runs(const int64_t* values, const int64_t* rows, const int64_t* col_starts,
+             const int64_t* col_ends, int64_t n, int connectivity, int64_t* out_comp) {
+    if (n == 0) return;
+    std::vector<int64_t> parent(n);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+    const int64_t pad = (connectivity == 8) ? 1 : 0;
+
+    // index of the first run of each row segment
+    int64_t prev_begin = 0, prev_end = 0;  // runs of row r-1 in [prev_begin, prev_end)
+    int64_t cur_begin = 0;
+    while (cur_begin < n) {
+        int64_t cur_row = rows[cur_begin];
+        int64_t cur_end = cur_begin;
+        while (cur_end < n && rows[cur_end] == cur_row) ++cur_end;
+
+        if (prev_end > prev_begin && rows[prev_begin] == cur_row - 1) {
+            int64_t i = prev_begin, j = cur_begin;
+            while (i < prev_end && j < cur_end) {
+                if (col_ends[i] + pad <= col_starts[j]) { ++i; }
+                else if (col_ends[j] + pad <= col_starts[i]) { ++j; }
+                else {
+                    if (values[i] == values[j]) uf_union(parent, i, j);
+                    if (col_ends[i] < col_ends[j]) ++i; else ++j;
+                }
+            }
+        }
+        prev_begin = cur_begin;
+        prev_end = cur_end;
+        cur_begin = cur_end;
+    }
+
+    // renumber roots by first appearance
+    std::vector<int64_t> remap(n, 0);
+    int64_t next_id = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r = uf_find(parent, i);
+        if (remap[r] == 0) remap[r] = next_id++;
+        out_comp[i] = remap[r];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Two-pointer intersection between two sorted disjoint range sets.
+// ---------------------------------------------------------------------------
+
+int64_t range_intersection(const int64_t* a, int64_t na, const int64_t* b, int64_t nb) {
+    int64_t total = 0;
+    int64_t i = 0, j = 0;
+    while (i < na && j < nb) {
+        int64_t lo = std::max(a[2 * i], b[2 * j]);
+        int64_t hi = std::min(a[2 * i + 1], b[2 * j + 1]);
+        if (hi > lo) total += hi - lo;
+        if (a[2 * i + 1] < b[2 * j + 1]) ++i; else ++j;
+    }
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// k-of-n coverage voting over sorted (by start) ranges.
+// Writes at most `n` output ranges; returns the count.
+// ---------------------------------------------------------------------------
+
+int64_t vote_ranges(const int64_t* ranges, int64_t n, int64_t vote_thr, int64_t* out) {
+    if (n == 0) return 0;
+    // event sweep
+    std::vector<std::pair<int64_t, int64_t>> events;
+    events.reserve(2 * n);
+    for (int64_t i = 0; i < n; ++i) {
+        events.emplace_back(ranges[2 * i], 1);
+        events.emplace_back(ranges[2 * i + 1], -1);
+    }
+    std::sort(events.begin(), events.end());
+
+    int64_t count = 0, coverage = 0, run_start = 0, n_out = 0;
+    bool in_run = false;
+    size_t k = 0;
+    while (k < events.size()) {
+        int64_t pos = events[k].first;
+        while (k < events.size() && events[k].first == pos) {
+            coverage += events[k].second;
+            ++k;
+        }
+        if (!in_run && coverage >= vote_thr) {
+            run_start = pos;
+            in_run = true;
+        } else if (in_run && coverage < vote_thr) {
+            out[2 * n_out] = run_start;
+            out[2 * n_out + 1] = pos;
+            ++n_out;
+            in_run = false;
+        }
+        (void)count;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Fill a flat int array with instance_id over the given (start, end) ranges.
+// ---------------------------------------------------------------------------
+
+void fill_ranges_i32(int32_t* flat, const int64_t* ranges, int64_t n, int32_t value) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = ranges[2 * i], e = ranges[2 * i + 1];
+        std::fill(flat + s, flat + e, value);
+    }
+}
+
+void fill_ranges_i64(int64_t* flat, const int64_t* ranges, int64_t n, int64_t value) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = ranges[2 * i], e = ranges[2 * i + 1];
+        std::fill(flat + s, flat + e, value);
+    }
+}
+
+void fill_ranges_u32(uint32_t* flat, const int64_t* ranges, int64_t n, uint32_t value) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = ranges[2 * i], e = ranges[2 * i + 1];
+        std::fill(flat + s, flat + e, value);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Heap ("age"-priority) watershed on a binary mask, seeded by markers.
+// Matches the reference's simplified watershed semantics
+// (empanada/inference/watershed.py:52): BFS flood in heap-pop order where
+// priority is insertion age.  Inherently sequential -> host C++.
+// flat arrays are padded by the caller; neighborhood offsets are precomputed.
+// ---------------------------------------------------------------------------
+
+void mask_watershed(const uint8_t* mask, int64_t size,
+                    const int64_t* marker_locations, int64_t n_markers,
+                    const int64_t* neighborhood, int64_t n_neigh,
+                    int64_t* output) {
+    typedef std::pair<int64_t, int64_t> Elem;  // (age, index)
+    std::priority_queue<Elem, std::vector<Elem>, std::greater<Elem>> heap;
+    int64_t age = 0;
+    for (int64_t m = 0; m < n_markers; ++m) heap.emplace(0, marker_locations[m]);
+
+    while (!heap.empty()) {
+        Elem elem = heap.top();
+        heap.pop();
+        ++age;
+        for (int64_t k = 0; k < n_neigh; ++k) {
+            int64_t nb = elem.second + neighborhood[k];
+            if (nb < 0 || nb >= size) continue;
+            if (!mask[nb]) continue;
+            if (output[nb]) continue;
+            output[nb] = output[elem.second];
+            heap.emplace(age, nb);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Split sorted ranges at chunk boundaries: a position p belongs to chunk
+// (p % modulo) / divisor; ranges crossing a boundary are split so each output
+// range lies in exactly one chunk along this axis.
+// Worst case output size: n + total_boundaries_crossed; caller passes a
+// buffer of capacity `cap` range pairs; returns count or -1 if overflow.
+// ---------------------------------------------------------------------------
+
+int64_t chunk_split_ranges(const int64_t* ranges, int64_t n, int64_t modulo,
+                           int64_t divisor, int64_t* out, int64_t cap) {
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = ranges[2 * i], e = ranges[2 * i + 1];
+        while (s < e) {
+            // end of the current chunk-aligned region containing s:
+            // next position where (p % modulo) % divisor == 0 or p % modulo == 0
+            int64_t rem = s % modulo;
+            int64_t chunk_off = rem % divisor;
+            int64_t next_boundary = s + (divisor - chunk_off);
+            // boundary can't pass the modulo wrap
+            int64_t mod_boundary = s + (modulo - rem);
+            if (mod_boundary < next_boundary) next_boundary = mod_boundary;
+            int64_t piece_end = std::min(e, next_boundary);
+            if (n_out >= cap) return -1;
+            out[2 * n_out] = s;
+            out[2 * n_out + 1] = piece_end;
+            ++n_out;
+            s = piece_end;
+        }
+    }
+    return n_out;
+}
+
+}  // extern "C"
