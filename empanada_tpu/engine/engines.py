@@ -1,0 +1,344 @@
+"""Inference engines (reference ``empanada/inference/engines.py``).
+
+Each engine wraps a flax model + params and exposes the reference's calling
+contract: ``engine(image, size, upsampling)`` returns a dense panoptic map
+(or ``None`` while the 3D median queue fills).  Design changes for TPU:
+
+- the model forward, probability medians, center NMS, pixel grouping and
+  semantic/instance merging each run as jitted XLA graphs with static shapes;
+  host code only shuttles slices and maintains the rolling z-window;
+- the median queue stores *device* arrays: enqueue is async (JAX dispatch
+  returns immediately), so the host RLE/matching thread overlaps with device
+  compute without the reference's ``mp.Queue`` process machinery;
+- images are padded to ``padding_factor`` (>=128 keeps the lane dimension of
+  every conv MXU-aligned).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import deque
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from empanada_tpu.ops import postprocess as pp
+
+__all__ = [
+    "MedianQueue",
+    "PanopticDeepLabEngine",
+    "PanopticDeepLabEngine3d",
+    "PanopticDeepLabRenderEngine",
+    "PanopticDeepLabRenderEngine3d",
+    "BCEngine",
+    "BCEngine3d",
+]
+
+
+class MedianQueue:
+    """Rolling window over consecutive z-slice outputs returning the middle
+    element with the median of probabilities (engines.py:47-90).
+
+    Semantics: passthrough of the newest item while the queue has <= mid
+    elements, None while filling beyond that, median once full; ``end()``
+    drains items past the middle.
+    """
+
+    def __init__(self, median_kernel_size: int):
+        assert median_kernel_size % 2 == 1, "Kernel size must be odd integer!"
+        self.ks = median_kernel_size
+        self.mid_idx = (median_kernel_size - 1) // 2
+        self.queue = deque(maxlen=median_kernel_size)
+        self._median = jax.jit(lambda stack: jnp.median(stack, axis=0))
+
+    def reset(self):
+        self.queue.clear()
+
+    def enqueue(self, item: dict):
+        self.queue.append(item)
+
+    def get_next(self, keys: Sequence[str]) -> Optional[dict]:
+        nq = len(self.queue)
+        if nq <= self.mid_idx:
+            return self.queue[-1]
+        if nq < self.ks:
+            return None
+        out = dict(self.queue[self.mid_idx])
+        for key in keys:
+            stack = jnp.stack([item[key] for item in self.queue], axis=0)
+            out[key] = self._median(stack)
+        return out
+
+    def end(self):
+        return list(self.queue)[self.mid_idx + 1:]
+
+
+class _EngineBase:
+    """Holds the model + params and the jit caches."""
+
+    def __init__(self, model, variables, input_dtype=jnp.float32):
+        self.model = model
+        self.variables = variables
+        self.input_dtype = input_dtype
+
+        @partial(jax.jit, static_argnames=("render_steps", "interpolate_ins"))
+        def _forward(variables, image, render_steps=2, interpolate_ins=True):
+            out = self.model.apply(
+                variables, image, train=False,
+                render_steps=render_steps, interpolate_ins=interpolate_ins,
+            )
+            return out
+
+        self._forward = _forward
+
+    def _to_device_image(self, image: np.ndarray) -> jnp.ndarray:
+        """(H, W) or (1, H, W) numpy -> (1, H, W, 1) device array."""
+        image = np.asarray(image)
+        if image.ndim == 2:
+            image = image[None]
+        assert image.ndim == 3 and image.shape[0] == 1
+        return jnp.asarray(image[..., None], dtype=self.input_dtype)
+
+
+class PanopticDeepLabEngine(_EngineBase):
+    """Single-slice engine over a plain (non-render) model
+    (engines.py:92-159)."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        thing_list: Sequence[int],
+        label_divisor: int = 1000,
+        stuff_area: int = 64,
+        void_label: int = 0,
+        nms_threshold: float = 0.1,
+        nms_kernel: int = 7,
+        confidence_thr: float = 0.5,
+        max_centers: int = 256,
+        **kwargs,
+    ):
+        super().__init__(model, variables)
+        self.thing_list = tuple(int(t) for t in thing_list)
+        self.label_divisor = int(label_divisor)
+        self.stuff_area = int(stuff_area)
+        self.void_label = int(void_label)
+        self.nms_threshold = float(nms_threshold)
+        self.nms_kernel = int(nms_kernel)
+        self.confidence_thr = float(confidence_thr)
+        self.max_centers = int(max_centers)
+        self.num_classes = int(model.num_classes) + 1  # class ids are 1-based
+
+        @jax.jit
+        def _post(sem_prob, ctr_hmp, offsets):
+            sem = pp.harden_seg(sem_prob, self.confidence_thr)
+            return pp.get_panoptic_segmentation(
+                sem, ctr_hmp, offsets, self.thing_list, self.label_divisor,
+                self.stuff_area, self.void_label, self.nms_threshold,
+                self.nms_kernel, self.num_classes, self.max_centers,
+            )
+
+        self._post = _post
+
+    def infer(self, image: np.ndarray) -> dict:
+        x = self._to_device_image(image)
+        out = self._forward(self.variables, x)
+        out["sem"] = pp.logits_to_prob(out["sem_logits"])
+        return out
+
+    def postprocess(self, out: dict) -> jnp.ndarray:
+        return self._post(out["sem"], out["ctr_hmp"], out["offsets"])
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        out = self.infer(image)
+        pan = self.postprocess(out)
+        return np.asarray(pan[0])
+
+
+class PanopticDeepLabEngine3d(PanopticDeepLabEngine):
+    """Adds the median queue over z (engines.py:161-221)."""
+
+    def __init__(self, *args, median_kernel_size: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.median = MedianQueue(median_kernel_size)
+
+    def __call__(self, image: np.ndarray) -> Optional[np.ndarray]:
+        out = self.infer(image)
+        self.median.enqueue(out)
+        median_out = self.median.get_next(keys=["sem"])
+        if median_out is None:
+            return None
+        pan = self.postprocess(median_out)
+        return np.asarray(pan[0])
+
+    def end(self):
+        return [np.asarray(self.postprocess(o)[0]) for o in self.median.end()]
+
+
+class PanopticDeepLabRenderEngine(_EngineBase):
+    """PointRend-aware engine — the one the plugin runtime uses
+    (engines.py:223-325).  ``__call__(image, size, upsampling)``."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        thing_list: Sequence[int],
+        label_divisor: int = 1000,
+        stuff_area: int = 64,
+        void_label: int = 0,
+        nms_threshold: float = 0.1,
+        nms_kernel: int = 7,
+        confidence_thr: float = 0.5,
+        padding_factor: int = 16,
+        coarse_boundaries: bool = True,
+        max_centers: int = 256,
+        input_dtype=jnp.float32,
+        **kwargs,
+    ):
+        super().__init__(model, variables, input_dtype)
+        self.thing_list = tuple(int(t) for t in thing_list)
+        self.label_divisor = int(label_divisor)
+        self.stuff_area = int(stuff_area)
+        self.void_label = int(void_label)
+        self.nms_threshold = float(nms_threshold)
+        self.nms_kernel = int(nms_kernel)
+        self.confidence_thr = float(confidence_thr)
+        self.padding_factor = int(padding_factor)
+        self.coarse_boundaries = bool(coarse_boundaries)
+        self.max_centers = int(max_centers)
+        self.num_classes = int(model.num_classes) + 1
+
+        self._build_jits()
+
+    def update_params(self, **params):
+        """Update thresholds without rebuilding the model (the reference
+        widget's live-update path, empanada_napari/inference.py:226)."""
+        for k, v in params.items():
+            if hasattr(self, k):
+                setattr(self, k, type(getattr(self, k))(v))
+        self._build_jits()
+
+    def _build_jits(self):
+        @partial(jax.jit, static_argnames=("upsampling",))
+        def _cells(ctr_hmp, offsets, upsampling=1):
+            return pp.get_instance_cells(
+                ctr_hmp, offsets, self.coarse_boundaries, upsampling,
+                self.nms_threshold, self.nms_kernel, self.max_centers,
+            )
+
+        @jax.jit
+        def _merge(sem_prob, cells):
+            sem = pp.harden_seg(sem_prob, self.confidence_thr)
+            ins = jnp.where(pp._thing_mask(sem, self.thing_list), cells, 0)
+            return pp.merge_semantic_and_instance(
+                sem, ins, self.label_divisor, self.thing_list, self.stuff_area,
+                self.void_label, self.num_classes, self.max_centers,
+            )
+
+        self._cells = _cells
+        self._merge = _merge
+
+    def infer(self, image: jnp.ndarray, render_steps: int = 2) -> dict:
+        out = self._forward(
+            self.variables, image,
+            render_steps=render_steps,
+            interpolate_ins=not self.coarse_boundaries,
+        )
+        out["sem"] = pp.logits_to_prob(out["sem_logits"])
+        return out
+
+    def get_instance_cells(self, ctr_hmp, offsets, upsampling: int = 1):
+        return self._cells(ctr_hmp, offsets, upsampling=int(upsampling))
+
+    def postprocess(self, sem_prob, cells) -> jnp.ndarray:
+        return self._merge(sem_prob, cells)
+
+    def _prepare(self, image: np.ndarray):
+        x = self._to_device_image(image)
+        return pp.factor_pad(x, self.padding_factor)
+
+    def __call__(self, image: np.ndarray, size, upsampling: int = 1) -> np.ndarray:
+        assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
+        h, w = size
+        x = self._prepare(image)
+        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
+        pan = self.postprocess(out["sem"], cells)
+        return np.asarray(pan[0, :h, :w])
+
+
+class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
+    """Render engine + median queue (engines.py:327-394)."""
+
+    def __init__(self, *args, median_kernel_size: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.median = MedianQueue(median_kernel_size)
+
+    def __call__(self, image, size, upsampling: int = 1) -> Optional[np.ndarray]:
+        assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
+        h, w = size
+        x = self._prepare(image)
+        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        out["size"] = (h, w)
+        self.median.enqueue(out)
+        median_out = self.median.get_next(keys=["sem"])
+        if median_out is None:
+            return None
+        cells = self.get_instance_cells(
+            median_out["ctr_hmp"], median_out["offsets"], upsampling
+        )
+        pan = self.postprocess(median_out["sem"], cells)
+        return np.asarray(pan[0, :h, :w])
+
+    def end(self, upsampling: int = 1):
+        final = []
+        for out in self.median.end():
+            h, w = out["size"]
+            cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
+            pan = self.postprocess(out["sem"], cells)
+            final.append(np.asarray(pan[0, :h, :w]))
+        return final
+
+
+class BCEngine(_EngineBase):
+    """Boundary-contour engine: returns stacked sigmoid (sem, cnt) maps
+    (engines.py:396-434); consumed offline by bc_watershed."""
+
+    def __init__(self, model, variables, padding_factor: int = 16, **kwargs):
+        super().__init__(model, variables)
+        self.padding_factor = padding_factor
+
+    def infer(self, image, render_steps: int = 2):
+        out = self._forward(self.variables, image, render_steps=render_steps)
+        sem = jax.nn.sigmoid(out["sem_logits"])
+        cnt = jax.nn.sigmoid(out["cnt_logits"])
+        return {"bc": jnp.concatenate([sem, cnt], axis=-1)}  # (1, H, W, 2)
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        x = self._to_device_image(image)
+        return np.asarray(self.infer(x)["bc"][0])
+
+
+class BCEngine3d(BCEngine):
+    def __init__(self, *args, median_kernel_size: int = 3, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.median = MedianQueue(median_kernel_size)
+
+    def __call__(self, image, size, upsampling: int = 1):
+        assert math.log2(upsampling).is_integer()
+        h, w = size
+        x = pp.factor_pad(self._to_device_image(image), self.padding_factor)
+        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        out["size"] = (h, w)
+        self.median.enqueue(out)
+        median_out = self.median.get_next(keys=["bc"])
+        if median_out is None:
+            return None
+        return np.asarray(median_out["bc"][0, :h, :w])
+
+    def end(self, upsampling: int = 1):
+        return [np.asarray(o["bc"][0, : o["size"][0], : o["size"][1]]) for o in self.median.end()]

@@ -1,0 +1,172 @@
+"""PointRend semantic refinement (reference ``empanada/models/point_rend.py``,
+itself derived from detectron2's PointRend project).
+
+TPU-first formulation: every step has static shapes — the per-step number of
+refined points is ``min(H*W, subdivision_num_points)`` which is static under
+jit because H, W are trace-time constants; top-k + scatter replace
+``torch.topk`` + ``scatter_``.  Eval-mode subdivision is an unrolled Python
+loop over ``render_steps`` (a static argument), each step doubling resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from empanada_tpu.ops.interpolate import bilinear_resize, point_sample
+
+__all__ = [
+    "calculate_uncertainty",
+    "get_uncertain_point_coords_on_grid",
+    "get_uncertain_point_coords_with_randomness",
+    "StandardPointHead",
+    "PointRendSemSegHead",
+]
+
+
+def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
+    """Uncertainty = -(top1 - top2) of logits along channels; for binary,
+    -(|logit|).  NHWC or (N, P, C) layouts (channel-last)."""
+    if logits.shape[-1] == 1:
+        return -jnp.abs(logits)
+    top2 = jax.lax.top_k(logits, 2)[0]
+    return (top2[..., 1] - top2[..., 0])[..., None]
+
+
+def get_uncertain_point_coords_on_grid(uncertainty_map: jnp.ndarray, num_points: int):
+    """Top-``num_points`` most uncertain grid points.
+
+    Args:
+        uncertainty_map: (N, H, W, 1).
+    Returns:
+        point_indices: (N, P) flat indices into H*W.
+        point_coords: (N, P, 2) normalized (x, y) in [0, 1] at pixel centers.
+    """
+    n, h, w, _ = uncertainty_map.shape
+    num_points = min(h * w, num_points)
+    flat = uncertainty_map.reshape(n, h * w)
+    point_indices = jax.lax.top_k(flat, num_points)[1]
+    xs = (1.0 / w) * (0.5 + (point_indices % w).astype(jnp.float32))
+    ys = (1.0 / h) * (0.5 + (point_indices // w).astype(jnp.float32))
+    return point_indices, jnp.stack([xs, ys], axis=-1)
+
+
+def get_uncertain_point_coords_with_randomness(
+    rng: jax.Array,
+    coarse_logits: jnp.ndarray,
+    num_points: int,
+    oversample_ratio: int,
+    importance_sample_ratio: float,
+):
+    """Training-time point sampling: oversample random points, keep the most
+    uncertain fraction, pad with fresh random points (point_rend.py:62)."""
+    assert oversample_ratio >= 1
+    assert 0 <= importance_sample_ratio <= 1
+    n = coarse_logits.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(rng)
+    point_coords = jax.random.uniform(k1, (n, num_sampled, 2))
+    point_logits = point_sample(coarse_logits, point_coords)
+    point_uncertainties = calculate_uncertainty(point_logits)[..., 0]  # (N, S)
+
+    num_uncertain = int(importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+    idx = jax.lax.top_k(point_uncertainties, num_uncertain)[1]  # (N, U)
+    picked = jnp.take_along_axis(point_coords, idx[..., None], axis=1)
+    if num_random > 0:
+        rand_coords = jax.random.uniform(k2, (n, num_random, 2))
+        picked = jnp.concatenate([picked, rand_coords], axis=1)
+    return picked
+
+
+class StandardPointHead(nn.Module):
+    """Per-point MLP over [fine features; coarse logits] with the coarse
+    logits re-concatenated at every layer (point_rend.py:140)."""
+
+    num_classes: int
+    fc_dim: int
+    num_fc: int = 3
+    coarse_pred_each_layer: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fine_grained_features, coarse_features):
+        # inputs: (N, P, C) channel-last point features
+        x = jnp.concatenate([fine_grained_features, coarse_features], axis=-1)
+        for k in range(self.num_fc):
+            x = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc{k + 1}")(x)
+            x = nn.relu(x)
+            if self.coarse_pred_each_layer:
+                x = jnp.concatenate([x, coarse_features], axis=-1)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="predictor")(x)
+
+
+class PointRendSemSegHead(nn.Module):
+    """Coarse semantic logits + iterative point refinement
+    (point_rend.py:191)."""
+
+    num_classes: int
+    fc_dim: int
+    num_fc: int = 3
+    train_num_points: int = 1024
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    subdivision_num_points: int = 8192
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.point_head = StandardPointHead(
+            self.num_classes, self.fc_dim, self.num_fc, dtype=self.dtype
+        )
+
+    def __call__(
+        self,
+        coarse_sem_seg_logits: jnp.ndarray,
+        features: jnp.ndarray,
+        train: bool = False,
+        subdivision_steps: int = 2,
+    ):
+        pr_out = {}
+        if train:
+            rng = self.make_rng("points")
+            point_coords = jax.lax.stop_gradient(
+                get_uncertain_point_coords_with_randomness(
+                    rng,
+                    coarse_sem_seg_logits,
+                    self.train_num_points,
+                    self.oversample_ratio,
+                    self.importance_sample_ratio,
+                )
+            )
+            coarse_points = point_sample(coarse_sem_seg_logits, point_coords)
+            fine_points = point_sample(features, point_coords)
+            point_logits = self.point_head(fine_points, coarse_points)
+            pr_out["sem_seg_logits"] = coarse_sem_seg_logits
+            pr_out["point_logits"] = point_logits
+            pr_out["point_coords"] = point_coords
+        else:
+            sem_seg_logits = coarse_sem_seg_logits
+            for _ in range(subdivision_steps):
+                n, h, w, c = sem_seg_logits.shape
+                sem_seg_logits = bilinear_resize(
+                    sem_seg_logits, (2 * h, 2 * w), align_corners=False
+                )
+                uncertainty = calculate_uncertainty(sem_seg_logits)
+                point_indices, point_coords = get_uncertain_point_coords_on_grid(
+                    uncertainty, self.subdivision_num_points
+                )
+                coarse_points = point_sample(coarse_sem_seg_logits, point_coords)
+                fine_points = point_sample(features, point_coords)
+                point_logits = self.point_head(fine_points, coarse_points)
+
+                # scatter refined logits back onto the upsampled grid
+                n2, h2, w2, c2 = sem_seg_logits.shape
+                flat = sem_seg_logits.reshape(n2, h2 * w2, c2)
+                batch_idx = jnp.arange(n2)[:, None]
+                flat = flat.at[batch_idx, point_indices].set(point_logits)
+                sem_seg_logits = flat.reshape(n2, h2, w2, c2)
+            pr_out["sem_seg_logits"] = sem_seg_logits
+        return pr_out

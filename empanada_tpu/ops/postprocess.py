@@ -1,0 +1,278 @@
+"""Jitted panoptic post-processing.
+
+TPU-first redesign of the reference's TorchScript kernels
+(``empanada/inference/postprocess.py``): everything below runs inside one XLA
+graph with *static shapes* — no ``torch.nonzero`` / ``torch.unique`` / Python
+dict loops:
+
+- center NMS keeps the max-pool-equality trick but emits a fixed-size top-K
+  center list (ascending flat index = the reference's scanline order) plus a
+  validity mask instead of a dynamic (K, 2) tensor
+  (ref ``find_instance_center:38``);
+- offset grouping computes a running argmin over center chunks so the
+  (H*W, K) distance matrix never materializes
+  (ref ``group_pixels:118`` / ``chunked_pixel_grouping:78``);
+- semantic/instance merging replaces the per-instance ``torch.mode`` loop
+  with one scatter-add histogram + argmax, and the per-class sequential
+  instance renumbering with an exclusive cumsum over the class one-hot
+  (ref ``merge_semantic_and_instance:223``).
+
+All image tensors are NHWC; semantic/instance maps are (N, H, W).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from empanada_tpu.models.blocks import max_pool_2d
+from empanada_tpu.ops.interpolate import nearest_resize
+
+__all__ = [
+    "factor_pad",
+    "logits_to_prob",
+    "harden_seg",
+    "find_instance_center",
+    "group_pixels",
+    "get_instance_cells",
+    "merge_semantic_and_instance",
+    "get_panoptic_segmentation",
+]
+
+
+def factor_pad(x: jnp.ndarray, factor: int = 16) -> jnp.ndarray:
+    """Zero-pad H and W (axes 1, 2 of NHWC) up to multiples of ``factor``."""
+    h, w = x.shape[1], x.shape[2]
+    pad_b = (-h) % factor
+    pad_r = (-w) % factor
+    if pad_b == 0 and pad_r == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (0, pad_b)
+    cfg[2] = (0, pad_r)
+    return jnp.pad(x, cfg)
+
+
+def logits_to_prob(logits: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over channels if multiclass else sigmoid (engines.py:22)."""
+    if logits.shape[-1] > 1:
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)
+
+
+def harden_seg(sem_prob: jnp.ndarray, confidence_thr: float = 0.5) -> jnp.ndarray:
+    """(N, H, W, C) probabilities -> (N, H, W) integer labels
+    (engines.py:114: argmax if multiclass, threshold if binary)."""
+    if sem_prob.shape[-1] > 1:
+        return jnp.argmax(sem_prob, axis=-1).astype(jnp.int32)
+    return (sem_prob[..., 0] >= confidence_thr).astype(jnp.int32)
+
+
+def find_instance_center(
+    ctr_hmp: jnp.ndarray,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    max_centers: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Center NMS with a fixed-size output.
+
+    Args:
+        ctr_hmp: (1, H, W, 1) heatmap probabilities.
+        max_centers: static K; up to K surviving peaks are returned in
+            ascending flat-index (scanline) order, matching the reference's
+            ``torch.nonzero`` ordering.
+
+    Returns:
+        centers: (K, 2) float32 (y, x) peak coordinates (0 where invalid).
+        valid: (K,) bool.
+    """
+    h, w = ctr_hmp.shape[1], ctr_hmp.shape[2]
+    t = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
+    pooled = max_pool_2d(t, nms_kernel, 1, nms_kernel // 2)
+    keep = (t == pooled) & (t > 0)
+    keep_flat = keep[0, :, :, 0].reshape(-1)
+
+    idx = jnp.arange(h * w, dtype=jnp.int32)
+    # top_k over -(flat index) of kept peaks -> ascending scanline order
+    neg_big = jnp.int32(-(2**31) + 1)
+    scores = jnp.where(keep_flat, -idx, neg_big)
+    top = jax.lax.top_k(scores, max_centers)[0]
+    valid = top != neg_big
+    flat_idx = jnp.where(valid, -top, 0)
+    centers = jnp.stack([flat_idx // w, flat_idx % w], axis=-1).astype(jnp.float32)
+    return centers, valid
+
+
+def group_pixels(
+    centers: jnp.ndarray,
+    valid: jnp.ndarray,
+    offsets: jnp.ndarray,
+    step: int = 1,
+    pixel_chunk: int = 16384,
+) -> jnp.ndarray:
+    """Assign each pixel the id (1..K) of its nearest offset-shifted center.
+
+    Args:
+        centers: (K, 2) float (y, x) in the offsets' grid units.
+        valid: (K,) bool.
+        offsets: (1, H, W, 2) channel order (dy, dx), in full-resolution units.
+        step: grid step (4 for the coarse-boundaries path where offsets are at
+            1/4 resolution but predict full-res displacements).
+
+    Returns:
+        (1, H, W) int32 instance ids (0 only when no center is valid).
+    """
+    h, w = offsets.shape[1], offsets.shape[2]
+    k = centers.shape[0]
+
+    yy = (jnp.arange(h, dtype=jnp.float32) * step)[:, None]
+    xx = (jnp.arange(w, dtype=jnp.float32) * step)[None, :]
+    loc_y = (yy + offsets[0, :, :, 0]).reshape(-1)
+    loc_x = (xx + offsets[0, :, :, 1]).reshape(-1)
+
+    ctr_y = centers[:, 0] * step
+    ctr_x = centers[:, 1] * step
+    inf = jnp.float32(1e30)
+
+    n_px = h * w
+    pad = (-n_px) % pixel_chunk
+    loc_y = jnp.pad(loc_y, (0, pad))
+    loc_x = jnp.pad(loc_x, (0, pad))
+    n_chunks = (n_px + pad) // pixel_chunk
+
+    def chunk_argmin(carry, chunk):
+        cy, cx = chunk
+        d2 = (cy[:, None] - ctr_y[None, :]) ** 2 + (cx[:, None] - ctr_x[None, :]) ** 2
+        d2 = jnp.where(valid[None, :], d2, inf)
+        return carry, jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    chunks_y = loc_y.reshape(n_chunks, pixel_chunk)
+    chunks_x = loc_x.reshape(n_chunks, pixel_chunk)
+    _, ids = jax.lax.scan(chunk_argmin, None, (chunks_y, chunks_x))
+    ids = ids.reshape(-1)[:n_px] + 1
+
+    any_valid = valid.any()
+    ids = jnp.where(any_valid, ids, 0)
+    return ids.reshape(1, h, w)
+
+
+def get_instance_cells(
+    ctr_hmp: jnp.ndarray,
+    offsets: jnp.ndarray,
+    coarse_boundaries: bool = True,
+    upsampling: int = 1,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    max_centers: int = 256,
+) -> jnp.ndarray:
+    """Reference ``PanopticDeepLabRenderEngine.get_instance_cells``
+    (engines.py:257): NMS + grouping (at 1/4 res when coarse) + nearest
+    upsample of the id map by ``upsampling * step``."""
+    step = 4 if coarse_boundaries else 1
+    centers, valid = find_instance_center(ctr_hmp, threshold, nms_kernel, max_centers)
+    cells = group_pixels(centers, valid, offsets, step=step)
+    scale = int(upsampling * step)
+    if scale > 1:
+        cells = nearest_resize(
+            cells[..., None], (cells.shape[1] * scale, cells.shape[2] * scale)
+        )[..., 0]
+    return cells
+
+
+def _thing_mask(sem: jnp.ndarray, thing_list: Sequence[int]) -> jnp.ndarray:
+    m = jnp.zeros_like(sem, dtype=bool)
+    for t in thing_list:
+        m = m | (sem == t)
+    return m
+
+
+def merge_semantic_and_instance(
+    sem: jnp.ndarray,
+    ins: jnp.ndarray,
+    label_divisor: int,
+    thing_list: Sequence[int],
+    stuff_area: int,
+    void_label: int,
+    num_classes: int,
+    max_centers: int = 256,
+) -> jnp.ndarray:
+    """Merge hardened semantics with the class-agnostic instance map.
+
+    ``sem``/``ins``: (1, H, W) int32; ``ins`` is already restricted to thing
+    pixels (value 0 elsewhere).  Static args: thing_list, num_classes, K.
+    """
+    sem = sem.astype(jnp.int32)
+    ins = ins.astype(jnp.int32)
+    semantic_thing = _thing_mask(sem, thing_list)
+    thing_seg = ins > 0
+    thing_px = thing_seg & semantic_thing
+
+    k1 = max_centers + 1
+    c = num_classes
+    # per-(instance, class) pixel histogram via one scatter-add
+    flat_idx = (ins * c + sem).reshape(-1)
+    contrib = thing_px.reshape(-1).astype(jnp.int32)
+    counts = jnp.zeros((k1 * c,), jnp.int32).at[flat_idx].add(contrib)
+    counts = counts.reshape(k1, c)[1:]  # drop instance id 0 -> (K, C)
+
+    inst_size = counts.sum(axis=1)
+    inst_valid = inst_size > 0
+    inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)  # majority class
+
+    # per-class sequential renumbering in ascending instance-id order
+    class_onehot = jax.nn.one_hot(inst_class, c, dtype=jnp.int32) * inst_valid[:, None]
+    prior_same_class = jnp.cumsum(class_onehot, axis=0) - class_onehot
+    new_ids = (prior_same_class * class_onehot).sum(axis=1) + 1  # (K,)
+
+    pan_id_of_inst = inst_class * label_divisor + new_ids  # (K,)
+    pan_id_of_inst = jnp.where(inst_valid, pan_id_of_inst, void_label)
+    pan_id_table = jnp.concatenate(
+        [jnp.array([void_label], jnp.int32), pan_id_of_inst.astype(jnp.int32)]
+    )
+
+    pan = jnp.full_like(sem, void_label)
+    pan = jnp.where(thing_px, pan_id_table[ins], pan)
+
+    # stuff classes: paint class*divisor where area (outside things) is large
+    for class_id in range(num_classes):
+        if class_id in thing_list:
+            continue
+        stuff_mask = (sem == class_id) & (~thing_seg)
+        area = stuff_mask.sum()
+        pan = jnp.where(stuff_mask & (area >= stuff_area), class_id * label_divisor, pan)
+    return pan
+
+
+def get_panoptic_segmentation(
+    sem: jnp.ndarray,
+    ctr_hmp: jnp.ndarray,
+    offsets: jnp.ndarray,
+    thing_list: Sequence[int],
+    label_divisor: int,
+    stuff_area: int,
+    void_label: int,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    num_classes: int = 2,
+    max_centers: int = 256,
+) -> jnp.ndarray:
+    """Full pipeline on hardened semantics (reference postprocess.py:298).
+
+    Args:
+        sem: (1, H, W) int hardened semantic labels.
+        ctr_hmp: (1, H, W, 1); offsets: (1, H, W, 2).
+
+    Returns:
+        (1, H, W) int32 panoptic map.
+    """
+    semantic_thing = _thing_mask(sem, thing_list)
+    centers, valid = find_instance_center(ctr_hmp, threshold, nms_kernel, max_centers)
+    cells = group_pixels(centers, valid, offsets, step=1)
+    ins = jnp.where(semantic_thing, cells, 0)
+    return merge_semantic_and_instance(
+        sem, ins, label_divisor, thing_list, stuff_area, void_label,
+        num_classes, max_centers,
+    )

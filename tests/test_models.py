@@ -1,0 +1,137 @@
+"""Model layer tests: shapes, pyramid strides, output contracts.
+
+Mirrors the reference's architecture invariants (encoder pyramids, 1/4-res
+heads with x4 upsampling, PR render contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from empanada_tpu.models import create_model
+from empanada_tpu.models.panoptic_deeplab import create_encoder
+from empanada_tpu.models.regnet import RegNetParams
+
+
+def _init_and_run(model, x, train=False, **kwargs):
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1), "points": jax.random.key(2)}
+    variables = jax.jit(model.init, static_argnames=("train",))(rngs, x, train=True)
+
+    def run(variables, x, **kw):
+        return model.apply(
+            variables, x, train=train,
+            rngs={"dropout": jax.random.key(3), "points": jax.random.key(4)},
+            mutable=["batch_stats"] if train else False,
+            **kw,
+        )
+
+    out = jax.jit(run, static_argnames=tuple(kwargs))(variables, x, **kwargs)
+    if train:
+        out = out[0]
+    return out, variables
+
+
+class TestRegNetParams:
+    def test_regnety_6p4gf_stages(self):
+        # the published regnety_6p4gf design resolves to 4 stages
+        p = RegNetParams(depth=25, w_0=112, w_a=33.22, w_m=2.27, group_w=72, use_se=True)
+        assert len(p.widths) == 4
+        assert len(p.depths) == 4 and sum(p.depths) == 25
+        # widths divisible by group width * groups
+        for w, g in zip(p.widths, p.groups):
+            assert w % g == 0
+
+
+class TestEncoders:
+    @pytest.mark.parametrize("name,os", [("resnet50", 16), ("resnet18", 32), ("regnety_200mf", 32)])
+    def test_pyramid_strides(self, name, os):
+        enc, widths = create_encoder(name, output_stride=os)
+        x = jnp.zeros((1, 64, 64, 1))
+        variables = jax.jit(enc.init, static_argnames=("train",))(jax.random.key(0), x, train=False)
+        pyr = jax.jit(enc.apply, static_argnames=("train",))(variables, x, train=False)
+        assert len(pyr) == 5
+        if name.startswith("resnet"):
+            expected_strides = [4, 4, 8, 16, 16 if os == 16 else 32]
+        else:
+            expected_strides = [2, 4, 8, 16, 16 if os == 16 else 32]
+        for p, s in zip(pyr, expected_strides):
+            assert p.shape[1] == 64 // s, (p.shape, s)
+        # stage widths match config
+        for p, w in zip(pyr[1:], widths):
+            assert p.shape[-1] == w
+
+
+class TestPanopticModels:
+    def test_pdl_output_contract(self):
+        model = create_model(
+            "PanopticDeepLab", encoder="resnet18", num_classes=3, ins_decoder=True,
+            decoder_channels=64, low_level_channels_project=(32, 16, 8),
+        )
+        x = jnp.zeros((1, 64, 64, 1))
+        out, _ = _init_and_run(model, x)
+        assert out["sem_logits"].shape == (1, 64, 64, 3)
+        assert out["ctr_hmp"].shape == (1, 64, 64, 1)
+        assert out["offsets"].shape == (1, 64, 64, 2)
+
+    def test_pdl_pr_eval_render(self):
+        model = create_model(
+            "PanopticDeepLabPR", encoder="resnet18", num_classes=1,
+            decoder_channels=64, low_level_channels_project=(32, 16, 8),
+            subdivision_num_points=128,
+        )
+        x = jnp.zeros((1, 64, 64, 1))
+        # render_steps=2 -> sem at full res; interpolate_ins False -> 1/4 res
+        out, variables = _init_and_run(model, x, render_steps=2, interpolate_ins=False)
+        assert out["sem_logits"].shape == (1, 64, 64, 1)
+        assert out["ctr_hmp"].shape == (1, 16, 16, 1)
+        assert out["offsets"].shape == (1, 16, 16, 2)
+        # render_steps=3 -> sem at 2x full res (upsampling=2 path)
+        out3 = jax.jit(
+            model.apply, static_argnames=("train", "render_steps", "interpolate_ins")
+        )(variables, x, train=False, render_steps=3, interpolate_ins=False)
+        assert out3["sem_logits"].shape == (1, 128, 128, 1)
+
+    def test_pdl_pr_train_points(self):
+        model = create_model(
+            "PanopticDeepLabPR", encoder="resnet18", num_classes=1,
+            decoder_channels=64, low_level_channels_project=(32, 16, 8),
+            train_num_points=64,
+        )
+        x = jnp.zeros((2, 64, 64, 1))
+        out, _ = _init_and_run(model, x, train=True)
+        assert out["sem_points"].shape == (2, 64, 1)
+        assert out["point_coords"].shape == (2, 64, 2)
+        assert out["sem_logits"].shape == (2, 64, 64, 1)
+
+    def test_bc_model(self):
+        model = create_model(
+            "PanopticDeepLabBC", encoder="resnet18", num_classes=1,
+            decoder_channels=64, low_level_channels_project=(32, 16, 8),
+            subdivision_num_points=128,
+        )
+        x = jnp.zeros((1, 64, 64, 1))
+        out, _ = _init_and_run(model, x)
+        assert set(out) == {"sem_logits", "cnt_logits"}
+        assert out["sem_logits"].shape == (1, 64, 64, 1)
+        assert out["cnt_logits"].shape == (1, 64, 64, 1)
+
+    def test_bifpn_output_contract(self):
+        model = create_model(
+            "PanopticBiFPN", encoder="regnety_200mf", num_classes=2, fpn_dim=32,
+            fpn_layers=1,
+        )
+        x = jnp.zeros((1, 128, 128, 1))
+        out, _ = _init_and_run(model, x)
+        assert out["sem_logits"].shape == (1, 128, 128, 2)
+        assert out["ctr_hmp"].shape == (1, 128, 128, 1)
+        assert out["offsets"].shape == (1, 128, 128, 2)
+
+    def test_bifpn_pr(self):
+        model = create_model(
+            "PanopticBiFPNPR", encoder="regnety_200mf", num_classes=1, fpn_dim=32,
+            fpn_layers=1, subdivision_num_points=128,
+        )
+        x = jnp.zeros((1, 128, 128, 1))
+        out, _ = _init_and_run(model, x, render_steps=2, interpolate_ins=False)
+        assert out["sem_logits"].shape == (1, 128, 128, 1)
+        assert out["ctr_hmp"].shape == (1, 32, 32, 1)
