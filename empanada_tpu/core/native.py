@@ -66,6 +66,11 @@ def _load():
         u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
     lib.mask_watershed.restype = None
 
+    lib.gray_watershed.argtypes = [
+        ctypes.POINTER(ctypes.c_float), u8p, ctypes.c_int64,
+        i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+    lib.gray_watershed.restype = None
+
     lib.chunk_split_ranges.argtypes = [
         i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64]
     lib.chunk_split_ranges.restype = ctypes.c_int64
@@ -142,6 +147,23 @@ def mask_watershed(mask_flat: np.ndarray, marker_locations, neighborhood, output
     nb = _as_i64(neighborhood)
     assert output_flat.dtype == np.int64 and output_flat.flags.c_contiguous
     lib.mask_watershed(
+        mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mask_flat),
+        _i64p(ml), len(ml), _i64p(nb), len(nb), _i64p(output_flat),
+    )
+
+
+def gray_watershed(
+    image_flat: np.ndarray, mask_flat: np.ndarray, marker_locations, neighborhood,
+    output_flat: np.ndarray,
+):
+    lib = _load()
+    image_flat = np.ascontiguousarray(image_flat, dtype=np.float32)
+    mask_flat = np.ascontiguousarray(mask_flat, dtype=np.uint8)
+    ml = _as_i64(marker_locations)
+    nb = _as_i64(neighborhood)
+    assert output_flat.dtype == np.int64 and output_flat.flags.c_contiguous
+    lib.gray_watershed(
+        image_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mask_flat),
         _i64p(ml), len(ml), _i64p(nb), len(nb), _i64p(output_flat),
     )

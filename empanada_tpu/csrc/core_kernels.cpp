@@ -197,6 +197,45 @@ void mask_watershed(const uint8_t* mask, int64_t size,
 }
 
 // ---------------------------------------------------------------------------
+// Grayscale heap watershed: flood from markers in order of (image value,
+// insertion age) — the classic priority-flood used by skimage.watershed.
+// `image` is the flooding priority (pass -semantic to flood bright first).
+// ---------------------------------------------------------------------------
+
+void gray_watershed(const float* image, const uint8_t* mask, int64_t size,
+                    const int64_t* marker_locations, int64_t n_markers,
+                    const int64_t* neighborhood, int64_t n_neigh,
+                    int64_t* output) {
+    struct Elem {
+        float value;
+        int64_t age;
+        int64_t index;
+        bool operator>(const Elem& o) const {
+            if (value != o.value) return value > o.value;
+            return age > o.age;
+        }
+    };
+    std::priority_queue<Elem, std::vector<Elem>, std::greater<Elem>> heap;
+    int64_t age = 0;
+    for (int64_t m = 0; m < n_markers; ++m) {
+        int64_t idx = marker_locations[m];
+        heap.push({image[idx], age++, idx});
+    }
+    while (!heap.empty()) {
+        Elem elem = heap.top();
+        heap.pop();
+        for (int64_t k = 0; k < n_neigh; ++k) {
+            int64_t nb = elem.index + neighborhood[k];
+            if (nb < 0 || nb >= size) continue;
+            if (!mask[nb]) continue;
+            if (output[nb]) continue;
+            output[nb] = output[elem.index];
+            heap.push({image[nb], age++, nb});
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Split sorted ranges at chunk boundaries: a position p belongs to chunk
 // (p % modulo) / divisor; ranges crossing a boundary are split so each output
 // range lies in exactly one chunk along this axis.

@@ -1,0 +1,212 @@
+"""Instance matching across slices (reference
+``empanada/inference/matcher.py``).
+
+``rle_matcher`` computes pairwise IoU between two RLE instance sets (box
+screening first, then RLE intersection without densifying) and solves the
+assignment with scipy's Hungarian algorithm.  ``RLEMatcher`` is the stateful
+cross-slice tracker: matched instances inherit the target's label, unmatched
+ones with IoA >= merge_ioa_thr are absorbed (false-split repair), others get
+a fresh label (forward pass) or keep their own (backward pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from empanada_tpu.core import (
+    box_iou,
+    crop_and_binarize,
+    mask_ioa,
+    mask_iou,
+    merge_boxes,
+    merge_rles,
+    rle_ioa,
+    rle_iou,
+)
+from empanada_tpu.core.labeling import extract_runs, runs_to_regions
+from empanada_tpu.stitch.rle_seg import unpack_rle_attrs
+
+__all__ = ["fast_matcher", "rle_matcher", "RLEMatcher", "merge_attrs"]
+
+
+def merge_attrs(rle_attr1: dict, rle_attr2: dict) -> dict:
+    """Merge two instances' boxes and run length encodings (matcher.py:14)."""
+    out = {"box": merge_boxes(rle_attr1["box"], rle_attr2["box"])}
+    starts, runs = merge_rles(
+        rle_attr1["starts"], rle_attr1["runs"], rle_attr2["starts"], rle_attr2["runs"]
+    )
+    out["starts"] = starts
+    out["runs"] = runs
+    return out
+
+
+def _empty_result(labels1, labels2, return_iou, return_ioa):
+    empty = np.array([])
+    out = ((empty, empty), (labels1, labels2), empty)
+    if return_iou:
+        out = out + (empty,)
+    if return_ioa:
+        out = out + (empty,)
+    return out
+
+
+def _regions_of_dense(instance_seg: np.ndarray):
+    v, r, cs, ce = extract_runs(instance_seg)
+    return runs_to_regions(v, r, cs, ce, width=instance_seg.shape[-1])
+
+
+def fast_matcher(
+    target_instance_seg: np.ndarray,
+    match_instance_seg: np.ndarray,
+    iou_thr: float = 0.5,
+    return_iou: bool = False,
+    return_ioa: bool = False,
+):
+    """Hungarian matching on dense instance maps (matcher.py:30)."""
+    regions1 = _regions_of_dense(target_instance_seg)
+    regions2 = _regions_of_dense(match_instance_seg)
+    labels1 = np.array(sorted(regions1))
+    labels2 = np.array(sorted(regions2))
+
+    if len(labels1) == 0 or len(labels2) == 0:
+        return _empty_result(labels1, labels2, return_iou, return_ioa)
+
+    boxes1 = np.array([regions1[l]["box"] for l in labels1])
+    boxes2 = np.array([regions2[l]["box"] for l in labels2])
+
+    iou_matrix = np.zeros((len(labels1), len(labels2)), dtype=np.float32)
+    ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
+
+    box_matches = np.array(box_iou(boxes1, boxes2).nonzero()).T
+    for r1, r2 in box_matches:
+        l1, l2 = labels1[r1], labels2[r2]
+        box = merge_boxes(boxes1[r1], boxes2[r2])
+        m1 = crop_and_binarize(target_instance_seg, box, l1)
+        m2 = crop_and_binarize(match_instance_seg, box, l2)
+        iou_matrix[r1, r2] = mask_iou(m1, m2)
+        if return_ioa:
+            ioa_matrix[r1, r2] = mask_ioa(m1, m2)
+
+    return _assign(
+        iou_matrix, ioa_matrix, labels1, labels2, iou_thr, return_iou, return_ioa
+    )
+
+
+def rle_matcher(
+    target_instance_rles: dict,
+    match_instance_rles: dict,
+    iou_thr: float = 0.5,
+    return_iou: bool = False,
+    return_ioa: bool = False,
+):
+    """Hungarian matching directly on RLEs (matcher.py:136)."""
+    target_labels, target_boxes, target_starts, target_runs = unpack_rle_attrs(
+        target_instance_rles
+    )
+    match_labels, match_boxes, match_starts, match_runs = unpack_rle_attrs(
+        match_instance_rles
+    )
+
+    if len(target_labels) == 0 or len(match_labels) == 0:
+        return _empty_result(target_labels, match_labels, return_iou, return_ioa)
+
+    iou_matrix = np.zeros((len(target_boxes), len(match_boxes)), dtype=float)
+    ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
+
+    box_matches = np.array(box_iou(target_boxes, match_boxes).nonzero()).T
+    for r1, r2 in box_matches:
+        iou_matrix[r1, r2] = rle_iou(
+            target_starts[r1], target_runs[r1], match_starts[r2], match_runs[r2]
+        )
+        if return_ioa:
+            ioa_matrix[r1, r2] = rle_ioa(
+                target_starts[r1], target_runs[r1], match_starts[r2], match_runs[r2]
+            )
+
+    return _assign(
+        iou_matrix, ioa_matrix, target_labels, match_labels, iou_thr, return_iou, return_ioa
+    )
+
+
+def _assign(iou_matrix, ioa_matrix, labels1, labels2, iou_thr, return_iou, return_ioa):
+    match_rows, match_cols = linear_sum_assignment(iou_matrix, maximize=True)
+    if iou_thr is not None:
+        keep = iou_matrix[match_rows, match_cols] >= iou_thr
+        match_rows = match_rows[keep]
+        match_cols = match_cols[keep]
+
+    matched_labels = (labels1[match_rows], labels2[match_cols])
+    all_labels = [labels1, labels2]
+    matched_ious = iou_matrix[(match_rows, match_cols)]
+
+    output = (matched_labels, all_labels, matched_ious)
+    if return_iou:
+        output = output + (iou_matrix,)
+    if return_ioa:
+        output = output + (ioa_matrix,)
+    return output
+
+
+class RLEMatcher:
+    """Stateful cross-slice instance matcher (matcher.py:234)."""
+
+    def __init__(
+        self,
+        class_id: int,
+        label_divisor: int,
+        merge_iou_thr: float = 0.25,
+        merge_ioa_thr: float = 0.25,
+        assign_new: bool = True,
+        **kwargs,
+    ):
+        self.class_id = class_id
+        self.label_divisor = label_divisor
+        self.merge_iou_thr = merge_iou_thr
+        self.merge_ioa_thr = merge_ioa_thr
+        self.assign_new = assign_new
+        self.next_label = (class_id * label_divisor) + 1
+        self.target_rle = None
+
+    def initialize_target(self, target_instance_rles: dict):
+        self.target_rle = target_instance_rles
+        objs = list(target_instance_rles.keys())
+        if objs:
+            self.next_label = max(objs) + 1
+
+    def update_target(self, instance_rles: dict):
+        self.target_rle = instance_rles
+
+    def __call__(self, match_instance_rle: dict, update_target: bool = True) -> dict:
+        assert self.target_rle is not None, "Initialize target rle before running!"
+
+        matched_labels, all_labels, _, ioa_matrix = rle_matcher(
+            self.target_rle, match_instance_rle, self.merge_iou_thr, return_ioa=True
+        )
+        target_labels, match_labels = all_labels
+        label_matches = {ml: tl for tl, ml in zip(matched_labels[0], matched_labels[1])}
+
+        matched_rles = {}
+        for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
+            if ml in label_matches:
+                new_label = label_matches[ml]
+            else:
+                ioa_max = ioa_matrix[:, i].max() if len(ioa_matrix) > 0 else 0
+                if ioa_max >= self.merge_ioa_thr:
+                    # false split: absorb into the most-overlapping target
+                    new_label = target_labels[ioa_matrix[:, i].argmax()]
+                elif self.assign_new:
+                    new_label = self.next_label
+                    self.next_label += 1
+                else:
+                    new_label = ml
+
+            if new_label not in matched_rles:
+                matched_rles[new_label] = mattrs
+            else:
+                matched_rles[new_label] = merge_attrs(matched_rles[new_label], mattrs)
+
+        if update_target:
+            self.update_target(matched_rles)
+
+        return matched_rles

@@ -1,0 +1,196 @@
+"""Orchestration vocabulary for 3D stitched inference (reference
+``empanada/inference/patterns.py``).
+
+The reference overlaps GPU inference with CPU RLE/matching via a
+``multiprocessing`` matcher process fed through an ``mp.Queue``.  Here the
+device side is JAX, whose dispatch is already asynchronous — a plain
+``threading.Thread`` + ``queue.Queue`` gives the same overlap (the host
+matcher crunches RLEs while XLA runs the next slice) without process spawn,
+pickling, or the reference's fragile spawn-context issues (multigpu.py:228).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from empanada_tpu.core import numpy_fill_instances
+from empanada_tpu.core.chunked import ChunkedArray, chunked_fill_instances
+from empanada_tpu.stitch import filters as filters_mod
+from empanada_tpu.stitch.consensus import (
+    merge_objects_from_trackers,
+    merge_semantic_from_trackers,
+)
+from empanada_tpu.stitch.matcher import RLEMatcher
+from empanada_tpu.stitch.rle_seg import pan_seg_to_rle_seg
+from empanada_tpu.stitch.tracker import InstanceTracker
+
+__all__ = [
+    "create_matchers",
+    "create_axis_trackers",
+    "apply_matchers",
+    "MatcherWorker",
+    "forward_matching",
+    "backward_matching",
+    "update_trackers",
+    "finish_tracking",
+    "apply_filters",
+    "get_axis_trackers_by_class",
+    "create_instance_consensus",
+    "create_semantic_consensus",
+    "fill_volume",
+    "fill_panoptic_volume",
+]
+
+FINISH = "finish"
+
+
+def create_matchers(thing_list, label_divisor, merge_iou_thr, merge_ioa_thr):
+    return [
+        RLEMatcher(tc, label_divisor, merge_iou_thr, merge_ioa_thr)
+        for tc in thing_list
+    ]
+
+
+def create_axis_trackers(axes, class_labels, label_divisor, shape):
+    return {
+        axis_name: [
+            InstanceTracker(class_id, label_divisor, shape, axis_name)
+            for class_id in class_labels
+        ]
+        for axis_name in axes
+    }
+
+
+def apply_matchers(rle_seg: dict, matchers) -> dict:
+    for matcher in matchers:
+        class_id = matcher.class_id
+        if matcher.target_rle is None:
+            matcher.initialize_target(rle_seg[class_id])
+        else:
+            rle_seg[class_id] = matcher(rle_seg[class_id])
+    return rle_seg
+
+
+def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing_list):
+    """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
+
+    Accepts numpy pan_segs from ``in_queue``; ``None`` items are skipped
+    (median queue filling); the ``FINISH`` sentinel ends the loop.
+    """
+    while True:
+        pan_seg = in_queue.get()
+        if pan_seg is None:
+            continue
+        if isinstance(pan_seg, str):
+            break
+        rle_seg = pan_seg_to_rle_seg(
+            np.asarray(pan_seg), labels, label_divisor, thing_list, force_connected=True
+        )
+        rle_seg = apply_matchers(rle_seg, matchers)
+        rle_stack.append(rle_seg)
+    return rle_stack
+
+
+class MatcherWorker:
+    """Thread running forward_matching concurrently with device inference."""
+
+    def __init__(self, matchers, labels, label_divisor, thing_list, maxsize: int = 8):
+        self.queue = queue.Queue(maxsize=maxsize)
+        self.rle_stack = []
+        self._thread = threading.Thread(
+            target=forward_matching,
+            args=(matchers, self.queue, self.rle_stack, labels, label_divisor, thing_list),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def put(self, pan_seg):
+        self.queue.put(pan_seg)
+
+    def finish(self):
+        self.queue.put(FINISH)
+        self._thread.join()
+        return self.rle_stack
+
+
+def backward_matching(rle_stack, matchers, axis_len: int):
+    """Generator: reverse pass with assign_new=False, yielding
+    (index, matched rle_seg) per plane."""
+    for matcher in matchers:
+        matcher.target_rle = None
+        matcher.assign_new = False
+
+    for rev_idx in range(axis_len - 1, -1, -1):
+        rle_seg = rle_stack[rev_idx]
+        rle_seg = apply_matchers(rle_seg, matchers)
+        yield rev_idx, rle_seg
+
+
+def update_trackers(rle_seg, index, trackers):
+    for tracker in trackers:
+        tracker.update(rle_seg[tracker.class_id], index)
+
+
+def finish_tracking(trackers):
+    for tracker in trackers:
+        tracker.finish()
+
+
+def apply_filters(tracker, filters_list):
+    """Name-dispatched in-place tracker filters (patterns.py:141)."""
+    if filters_list is not None:
+        for filt in filters_list:
+            name = filt["name"]
+            kwargs = {k: v for k, v in filt.items() if k != "name"}
+            getattr(filters_mod, name)(tracker, **kwargs)
+
+
+def get_axis_trackers_by_class(trackers: dict, class_id: int):
+    return [
+        tracker
+        for axis_trackers in trackers.values()
+        for tracker in axis_trackers
+        if tracker.class_id == class_id
+    ]
+
+
+def create_instance_consensus(
+    class_trackers, pixel_vote_thr: int = 2, cluster_iou_thr: float = 0.75, bypass: bool = False
+) -> InstanceTracker:
+    class_id = class_trackers[0].class_id
+    label_divisor = class_trackers[0].label_divisor
+    shape = class_trackers[0].shape3d
+    consensus_tracker = InstanceTracker(class_id, label_divisor, shape, "xy")
+    consensus_tracker.instances = merge_objects_from_trackers(
+        class_trackers, pixel_vote_thr, cluster_iou_thr, bypass
+    )
+    consensus_tracker.finished = True
+    return consensus_tracker
+
+
+def create_semantic_consensus(class_trackers, pixel_vote_thr: int = 2) -> InstanceTracker:
+    class_id = class_trackers[0].class_id
+    label_divisor = class_trackers[0].label_divisor
+    shape = class_trackers[0].shape3d
+    consensus_tracker = InstanceTracker(class_id, label_divisor, shape, "xy")
+    consensus_tracker.instances = merge_semantic_from_trackers(class_trackers, pixel_vote_thr)
+    consensus_tracker.finished = True
+    return consensus_tracker
+
+
+def fill_volume(volume, instances, processes: int = 4):
+    """Fill a numpy array or ChunkedArray with RLE instances, in-place."""
+    if isinstance(volume, np.ndarray):
+        numpy_fill_instances(volume, instances)
+    elif isinstance(volume, ChunkedArray):
+        chunked_fill_instances(volume, instances, processes)
+    else:
+        raise TypeError(f"Unknown volume type of {type(volume)}")
+
+
+def fill_panoptic_volume(volume, trackers, processes: int = 4):
+    for tracker in trackers:
+        fill_volume(volume, tracker.instances, processes)

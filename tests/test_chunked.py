@@ -1,0 +1,68 @@
+"""Chunked store tests: zarr-v2 wire compatibility, roundtrips, chunk fill."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from empanada_tpu.core import numpy_fill_instances
+from empanada_tpu.core.chunked import (
+    chunked_fill_instances,
+    create_chunked,
+    open_chunked,
+)
+
+
+class TestChunkedArray:
+    def test_roundtrip(self, tmp_path, rng):
+        arr = create_chunked(str(tmp_path / "a.zarr"), (10, 20, 30), (4, 8, 16), np.uint32)
+        data = rng.integers(0, 1000, (10, 20, 30)).astype(np.uint32)
+        arr[:, :, :] = data
+        assert np.array_equal(np.asarray(arr), data)
+        # partial reads/writes
+        assert np.array_equal(arr[3:7, 5:15, 10:25], data[3:7, 5:15, 10:25])
+        arr[0, 0:3, 0:3] = 7
+        assert (arr[0, 0:3, 0:3] == 7).all()
+
+    def test_open_existing(self, tmp_path):
+        p = str(tmp_path / "b.zarr")
+        arr = create_chunked(p, (6, 6), (4, 4), np.int32)
+        arr[:, :] = np.arange(36).reshape(6, 6).astype(np.int32)
+        arr2 = open_chunked(p)
+        assert arr2.shape == (6, 6) and arr2.chunks == (4, 4)
+        assert np.array_equal(np.asarray(arr2), np.arange(36).reshape(6, 6))
+
+    def test_zarr_v2_metadata(self, tmp_path):
+        p = str(tmp_path / "c.zarr")
+        create_chunked(p, (8, 8), (4, 4), np.uint16)
+        with open(os.path.join(p, ".zarray")) as f:
+            meta = json.load(f)
+        assert meta["zarr_format"] == 2
+        assert meta["dtype"] == "<u2"
+        assert meta["compressor"] is None
+        assert meta["order"] == "C"
+
+    def test_unwritten_chunks_fill_value(self, tmp_path):
+        arr = create_chunked(str(tmp_path / "d.zarr"), (8, 8), (4, 4), np.uint8)
+        assert (np.asarray(arr) == 0).all()
+
+
+class TestChunkedFill:
+    def test_matches_numpy_fill(self, tmp_path, rng):
+        shape = (10, 17, 23)
+        instances = {}
+        flat_max = int(np.prod(shape))
+        for inst_id in (1001, 1002, 1003):
+            starts = np.sort(rng.choice(flat_max - 50, 30, replace=False))
+            runs = rng.integers(1, 40, 30)
+            # clip overlapping/overflowing runs
+            runs = np.minimum(runs, flat_max - starts)
+            instances[inst_id] = {"starts": starts.astype(np.int64), "runs": runs.astype(np.int64)}
+
+        want = np.zeros(shape, dtype=np.int64)
+        numpy_fill_instances(want, instances)
+
+        arr = create_chunked(str(tmp_path / "e.zarr"), shape, (3, 5, 7), np.int64)
+        chunked_fill_instances(arr, instances, processes=3)
+        assert np.array_equal(np.asarray(arr), want)
