@@ -1,0 +1,166 @@
+"""Benchmark: MitoNet-architecture panoptic inference throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mvox/s/chip", "vs_baseline": N}
+
+Headline metric: megavoxels/second/chip through the full device pipeline of
+the flagship MitoNet_v1 architecture (PanopticDeepLabPR, resnet50 encoder,
+output-stride 16) — model forward + PointRend render + center NMS + pixel
+grouping + semantic/instance merge, i.e. dense panoptic maps come off the
+chip, matching the reference engine's per-slice work
+(empanada/inference/engines.py PanopticDeepLabRenderEngine.__call__).
+
+Baseline: the reference's own CPU-torch path (its QuantizablePanopticDeepLabPR
++ PanopticDeepLabRenderEngine, random weights, 512x512, coarse boundaries)
+measured on this host = 0.142 Mvox/s (single-core host; re-measure with
+--measure-baseline).  The reference publishes no numbers (BASELINE.md).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_CPU_TORCH_MVOX_S = 0.142  # measured on this host, see module docstring
+H = W = 512
+BATCH = 8
+WARMUP = 2
+ITERS = 10
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+
+    from empanada_tpu.models import create_model
+    from empanada_tpu.ops import postprocess as pp
+
+    model = create_model(
+        "PanopticDeepLabPR",
+        encoder="resnet50",
+        num_classes=1,
+        stage4_stride=16,
+        decoder_channels=256,
+        low_level_stages=(1,),
+        low_level_channels_project=(32,),
+        ins_decoder=True,
+        subdivision_num_points=8192,
+        dtype=jnp.bfloat16,
+    )
+    sample = jnp.zeros((1, H, W, 1), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, sample, train=False
+    )
+
+    thing_list = (1,)
+
+    def pipeline_one(variables, image):
+        """Full per-slice device pipeline -> dense panoptic map."""
+        out = model.apply(variables, image[None], train=False, render_steps=2,
+                          interpolate_ins=False)
+        sem = pp.logits_to_prob(out["sem_logits"].astype(jnp.float32))
+        cells = pp.get_instance_cells(
+            out["ctr_hmp"].astype(jnp.float32), out["offsets"].astype(jnp.float32),
+            coarse_boundaries=True, upsampling=1,
+            threshold=0.1, nms_kernel=7, max_centers=256,
+        )
+        sem_h = pp.harden_seg(sem, 0.5)
+        import jax.numpy as jnp2
+        ins = jnp2.where(pp._thing_mask(sem_h, thing_list), cells, 0)
+        pan = pp.merge_semantic_and_instance(
+            sem_h, ins, 1000, thing_list, 64, 0, num_classes=2, max_centers=256
+        )
+        return pan[0]
+
+    @jax.jit
+    def pipeline_batch(variables, images):
+        return jax.vmap(lambda im: pipeline_one(variables, im))(images)
+
+    return pipeline_batch, variables
+
+
+def measure_baseline():
+    """Re-measure the reference CPU-torch path (needs /root/reference)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from empanada.models.quantization import QuantizablePanopticDeepLabPR
+    from empanada.inference.engines import PanopticDeepLabRenderEngine
+
+    model = QuantizablePanopticDeepLabPR(
+        encoder="resnet50", num_classes=1, stage4_stride=16, decoder_channels=256,
+        low_level_stages=[1], low_level_channels_project=[32],
+        atrous_rates=[2, 4, 6], ins_decoder=True, ins_ratio=0.5,
+        num_fc=3, train_num_points=1024, oversample_ratio=3,
+        importance_sample_ratio=0.75, subdivision_steps=2,
+        subdivision_num_points=8192, quantize=False,
+    ).eval()
+    engine = PanopticDeepLabRenderEngine(
+        model, thing_list=[1], label_divisor=1000, padding_factor=128,
+        coarse_boundaries=True,
+    )
+    x = torch.randn(1, 1, H, W)
+    with torch.no_grad():
+        engine(x, (H, W), 1)
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            engine(x, (H, W), 1)
+        dt = (time.perf_counter() - t0) / n
+    return H * W / dt / 1e6
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--measure-baseline", action="store_true")
+    args = parser.parse_args()
+
+    if args.measure_baseline:
+        mvox = measure_baseline()
+        print(f"reference CPU-torch baseline: {mvox:.3f} Mvox/s")
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    pipeline_batch, variables = build()
+    n_chips = max(1, len(jax.devices()))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(0, 1, (BATCH, H, W, 1)), jnp.float32)
+
+    # Sustained on-device throughput: ITERS pipeline invocations chained
+    # inside one jitted scan (inputs perturbed per step), fetching only a
+    # scalar.  This sidesteps the dev-tunnel artifact where
+    # block_until_ready returns before remote execution finishes and a
+    # full-array fetch pays ~250 ms of RPC latency.
+    @jax.jit
+    def loop(variables, images):
+        def body(carry, k):
+            pan = pipeline_batch(variables, images + 0.001 * k.astype(jnp.float32))
+            return carry + pan.sum(), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(ITERS))
+        return acc
+
+    int(loop(variables, images))  # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(loop(variables, images))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    dt = best
+
+    mvox_s = BATCH * H * W / dt / 1e6 / n_chips
+    print(json.dumps({
+        "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
+        "value": round(mvox_s, 3),
+        "unit": "Mvox/s/chip",
+        "vs_baseline": round(mvox_s / BASELINE_CPU_TORCH_MVOX_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

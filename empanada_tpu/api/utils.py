@@ -1,0 +1,156 @@
+"""Model registry, model bundles, and input preprocessing (reference
+``empanada_napari/utils.py``).
+
+The reference deploys TorchScript archives downloaded from Zenodo; this
+framework deploys **model bundles**: a zip holding ``config.json`` (the
+architecture name + constructor kwargs) and ``params.msgpack`` (flax
+variables via ``flax.serialization``).  Registry configs are yaml files with
+the reference's schema (class_names, labels, thing_list, model path, norms,
+padding_factor, description, FINETUNE) discovered from the packaged
+``configs/`` directory plus ``~/.empanada_tpu/configs``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from glob import glob
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from flax import serialization
+
+from empanada_tpu.api.config import read_yaml
+from empanada_tpu.models import create_model
+
+__all__ = [
+    "MODEL_DIR",
+    "get_configs",
+    "add_new_model",
+    "save_model_bundle",
+    "load_model_bundle",
+    "load_model_from_config",
+    "Preprocessor",
+    "normalize",
+]
+
+MODEL_DIR = os.path.join(os.path.expanduser("~"), ".empanada_tpu")
+BUNDLE_EXT = ".eptpu"
+
+
+def get_configs():
+    """Discover registered model configs: packaged + user-registered
+    (reference utils.py:64)."""
+    pkg_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    user_dir = os.path.join(MODEL_DIR, "configs")
+
+    model_configs = {}
+    for d in (pkg_dir, user_dir):
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(glob(os.path.join(d, "*.yaml"))):
+            name = os.path.splitext(os.path.basename(fn))[0]
+            model_configs[name] = fn
+    return model_configs
+
+
+def add_new_model(model_name: str, config: dict, model_file: str | None = None):
+    """Register a model for the inference/finetune entry points
+    (reference utils.py:120)."""
+    config_dir = os.path.join(MODEL_DIR, "configs")
+    os.makedirs(config_dir, exist_ok=True)
+    if model_file is not None:
+        assert os.path.isfile(model_file), f"{model_file} not a valid file!"
+        config = dict(config)
+        config["model"] = model_file
+    with open(os.path.join(config_dir, f"{model_name}.yaml"), "w") as f:
+        yaml.dump(config, f)
+
+
+def save_model_bundle(path: str, arch: str, model_kwargs: dict, variables) -> str:
+    """Write a deployable model bundle (zip: config.json + params.msgpack)."""
+    if not path.endswith(BUNDLE_EXT):
+        path = path + BUNDLE_EXT
+    payload = serialization.to_bytes(variables)
+    meta = {"arch": arch, "model_kwargs": model_kwargs, "format": 1}
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("config.json", json.dumps(meta))
+        zf.writestr("params.msgpack", payload)
+    return path
+
+
+def load_model_bundle(path: str, dtype=jnp.float32):
+    """Load a model bundle -> (model module, variables)."""
+    with zipfile.ZipFile(path, "r") as zf:
+        meta = json.loads(zf.read("config.json"))
+        payload = zf.read("params.msgpack")
+
+    model = create_model(meta["arch"], dtype=dtype, **meta["model_kwargs"])
+    # build a template pytree to restore into
+    sample = jnp.zeros((1, 64, 64, 1), dtype)
+    template = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, sample, train=False)
+    )
+    variables = serialization.from_bytes(template, payload)
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables
+
+
+def load_model_from_config(model_config: dict, dtype=jnp.float32):
+    """Resolve the model field of a registry config to (model, variables)."""
+    model_path = model_config["model"]
+    if isinstance(model_path, str) and model_path.startswith(("http://", "https://")):
+        raise RuntimeError(
+            "URL model sources are not available in this environment; "
+            "register a local bundle path instead (add_new_model)."
+        )
+    model_path = os.path.expanduser(model_path)
+    if not os.path.isfile(model_path):
+        raise FileNotFoundError(
+            f"model bundle {model_path} not found; train/finetune one, import "
+            "an archive, or build an untrained model with init_model_from_config()."
+        )
+    return load_model_bundle(model_path, dtype=dtype)
+
+
+def init_model_from_config(model_config: dict, seed: int = 0, dtype=jnp.float32,
+                           image_size: int = 128):
+    """Instantiate the config's architecture with fresh random weights
+    (development/benchmarks; registry configs carry arch + model_kwargs)."""
+    model = create_model(model_config["arch"], dtype=dtype, **model_config["model_kwargs"])
+    sample = jnp.zeros((1, image_size, image_size, 1), dtype)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(seed)}, sample, train=False
+    )
+    return model, variables
+
+
+def normalize(img: np.ndarray, mean, std, max_pixel_value: float = 255.0) -> np.ndarray:
+    """(img - mean*max) / (std*max), float32 (reference utils.py:170)."""
+    mean = np.float32(mean) * np.float32(max_pixel_value)
+    denom = np.reciprocal(np.float32(std) * np.float32(max_pixel_value), dtype=np.float32)
+    img = img.astype(np.float32)
+    img -= mean
+    img *= denom
+    return img
+
+
+class Preprocessor:
+    """Rejects float input and normalizes by mean/std scaled to the dtype max
+    (reference utils.py:189)."""
+
+    def __init__(self, mean=None, std=None):
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, image: np.ndarray = None) -> dict:
+        assert image is not None
+        if np.issubdtype(image.dtype, np.floating):
+            raise Exception("Input image cannot be float type!")
+        max_value = np.iinfo(image.dtype).max
+        image = normalize(image, self.mean, self.std, max_pixel_value=max_value)
+        return {"image": image[None]}  # (1, H, W)

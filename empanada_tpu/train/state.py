@@ -1,0 +1,137 @@
+"""Training state + sharded train step.
+
+Replaces the reference's torch loop machinery (train.py: AdamW with bias/BN
+excluded from weight decay, OneCycle schedule, AMP GradScaler) with optax:
+weight-decay masking over the param pytree, a OneCycle (warmup-cosine)
+schedule, and bf16 compute with f32 params — no loss scaling needed on TPU.
+
+The train step is a single jitted function whose batch axis is sharded over a
+``jax.sharding.Mesh``; gradients are averaged by XLA-inserted collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step",
+           "onecycle_schedule", "adamw_with_decay_mask"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def onecycle_schedule(max_lr: float, total_steps: int, pct_start: float = 0.3):
+    """OneCycleLR-style warmup + cosine decay (train.py:218)."""
+    warmup = max(1, int(total_steps * pct_start))
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(max_lr / 25.0, max_lr, warmup),
+            optax.cosine_decay_schedule(max_lr, max(1, total_steps - warmup), alpha=1e-4),
+        ],
+        [warmup],
+    )
+
+
+def _decay_mask(params) -> Any:
+    """True for params that receive weight decay: exclude biases and all
+    norm scales/biases (reference configure_optimizer, train.py:261-306)."""
+
+    def mask(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        # flax convention: BatchNorm params live under a module named 'bn'
+        if any(n == "bn" for n in names):
+            return False
+        if names and names[-1] in ("bias", "scale"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def adamw_with_decay_mask(schedule, weight_decay: float = 0.1, clip_norm: Optional[float] = None):
+    tx = optax.adamw(schedule, weight_decay=weight_decay, mask=_decay_mask)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
+
+
+def create_train_state(model, rng, sample_input, tx) -> TrainState:
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng, "dropout": jax.random.key(1), "points": jax.random.key(2)},
+        sample_input,
+        train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(loss_fn, donate: bool = True):
+    """Build the jitted, sharding-agnostic train step.
+
+    batch: {'image': (B, H, W, 1), 'sem': (B, H, W), 'ctr_hmp': (B, H, W, 1),
+            'offsets': (B, H, W, 2)} — shard the leading axis over the mesh
+    when calling; XLA averages gradients over devices automatically.
+    """
+
+    def step(state: TrainState, batch: dict, rng):
+        d_rng, p_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def compute_loss(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                rngs={"dropout": d_rng, "points": p_rng},
+                mutable=["batch_stats"],
+            )
+            loss, aux = loss_fn(out, batch)
+            return loss, (aux, mutated["batch_stats"])
+
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_bs)
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step():
+    def step(state: TrainState, images):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+
+    return jax.jit(step)

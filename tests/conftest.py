@@ -5,13 +5,19 @@ has no equivalent — its GPU/multi-GPU tests are skip-gated in CI; see
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before the jax backend initializes; note this machine's
+# sitecustomize pre-imports jax for the axon TPU plugin, so the env var alone
+# is not enough — jax.config.update below is what actually switches platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,170 @@
+"""API-layer tests: registry, bundles, config inheritance, Engine2d/3d."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+import empanada_tpu.api as api
+from empanada_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_variables():
+    model = create_model(
+        "PanopticDeepLabPR", encoder="resnet18", num_classes=1,
+        decoder_channels=32, low_level_channels_project=(16, 8, 4),
+        subdivision_num_points=256,
+    )
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    return model, variables
+
+
+@pytest.fixture
+def tiny_config(tmp_path, tiny_model_and_variables):
+    model, variables = tiny_model_and_variables
+    bundle = api.save_model_bundle(
+        str(tmp_path / "tiny"),
+        "PanopticDeepLabPR",
+        dict(encoder="resnet18", num_classes=1, decoder_channels=32,
+             low_level_channels_project=(16, 8, 4), subdivision_num_points=256),
+        variables,
+    )
+    return {
+        "class_names": {1: "mito"},
+        "labels": [1],
+        "thing_list": [1],
+        "model": bundle,
+        "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.2},
+    }
+
+
+class TestConfigLoader:
+    def test_base_inheritance(self, tmp_path):
+        base = tmp_path / "base.yaml"
+        base.write_text(yaml.dump({"a": 1, "nested": {"x": 1, "y": 2}}))
+        child = tmp_path / "child.yaml"
+        child.write_text(yaml.dump({"BASE": "base.yaml", "nested": {"y": 3}, "b": 2}))
+        cfg = api.load_config(str(child))
+        assert cfg == {"a": 1, "b": 2, "nested": {"x": 1, "y": 3}}
+
+
+class TestRegistry:
+    def test_packaged_configs_discovered(self):
+        configs = api.get_configs()
+        for name in ("MitoNet_v1", "MitoNet_v1_mini", "NucleoNet_base_v2", "DropNet_base_v1"):
+            assert name in configs
+
+    def test_packaged_configs_instantiate(self):
+        """Every packaged config's arch/model_kwargs must build a model."""
+        configs = api.get_configs()
+        for name in ("MitoNet_v1", "MitoNet_v1_mini"):
+            cfg = api.read_yaml(configs[name])
+            model = create_model(cfg["arch"], **cfg["model_kwargs"])
+            assert model.num_classes == len(cfg["labels"])
+
+
+class TestBundles:
+    def test_roundtrip(self, tmp_path, tiny_model_and_variables):
+        model, variables = tiny_model_and_variables
+        p = api.save_model_bundle(
+            str(tmp_path / "m"),
+            "PanopticDeepLabPR",
+            dict(encoder="resnet18", num_classes=1, decoder_channels=32,
+                 low_level_channels_project=(16, 8, 4), subdivision_num_points=256),
+            variables,
+        )
+        model2, variables2 = api.load_model_bundle(p)
+        chex = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            variables, variables2,
+        )
+        assert all(jax.tree.leaves(chex))
+
+
+class TestPreprocessor:
+    def test_rejects_float(self):
+        pre = api.Preprocessor(mean=0.5, std=0.2)
+        with pytest.raises(Exception):
+            pre(np.zeros((4, 4), np.float32))
+
+    def test_normalizes_by_dtype_max(self):
+        pre = api.Preprocessor(mean=0.5, std=0.2)
+        out8 = pre(np.full((2, 2), 255, np.uint8))["image"]
+        out16 = pre(np.full((2, 2), 65535, np.uint16))["image"]
+        assert np.allclose(out8, out16)
+        assert np.allclose(out8, (1.0 - 0.5) / 0.2, atol=1e-4)
+
+
+class TestEngine2d:
+    def test_infer_and_tiled(self, tiny_config, tiny_model_and_variables):
+        eng = api.Engine2d(
+            tiny_config, nms_kernel=3, max_centers=32,
+            model_and_variables=tiny_model_and_variables,
+        )
+        img = np.random.default_rng(0).integers(0, 255, (70, 90), dtype=np.uint8)
+        pan = eng.infer(img)
+        assert pan.shape == img.shape
+
+        eng.tile_size = 64
+        pan_tiled = eng.infer(img)
+        assert pan_tiled.shape == img.shape
+
+    def test_semantic_only(self, tiny_config, tiny_model_and_variables):
+        eng = api.Engine2d(
+            tiny_config, semantic_only=True, max_centers=32,
+            model_and_variables=tiny_model_and_variables,
+        )
+        img = np.random.default_rng(0).integers(0, 255, (64, 64), dtype=np.uint8)
+        pan = eng.infer(img)
+        # no things -> ids are class_id * label_divisor only
+        assert set(np.unique(pan)) <= {0, 1000}
+
+
+class TestEngine3d:
+    def test_stack_and_consensus(self, tiny_config, tiny_model_and_variables, tmp_path):
+        eng = api.Engine3d(
+            tiny_config, median_kernel_size=3, min_size=0, min_extent=0,
+            max_centers=32, save_panoptic=True,
+            model_and_variables=tiny_model_and_variables,
+        )
+        vol = np.random.default_rng(1).integers(0, 255, (6, 48, 48), dtype=np.uint8)
+        stack, trackers = eng.infer_on_axis(vol, "xy")
+        assert stack.shape == vol.shape
+        assert len(trackers) == 1
+
+        # full orthoplane + consensus + stack postprocessing
+        all_trackers = eng.infer_orthoplane(vol)
+        outs = list(api.tracker_consensus(all_trackers, None, tiny_config, min_size=0, min_extent=0))
+        assert len(outs) == 1
+        vol_out, class_name, instances = outs[0]
+        assert class_name == "mito" and vol_out.shape == vol.shape
+
+        outs2 = list(api.stack_postprocessing(
+            {"xy": trackers}, None, tiny_config, min_size=0, min_extent=0))
+        assert outs2[0][0].shape == vol.shape
+
+
+class TestExportImport:
+    def test_roundtrip(self, tmp_path, tiny_config, monkeypatch):
+        import empanada_tpu.api.utils as U
+        import empanada_tpu.api.export as E
+
+        monkeypatch.setattr(U, "MODEL_DIR", str(tmp_path / "home"))
+        monkeypatch.setattr(E, "MODEL_DIR", str(tmp_path / "home"))
+
+        api.add_new_model("tiny_test", tiny_config, model_file=tiny_config["model"])
+        assert "tiny_test" in api.get_configs()
+
+        archive = api.export_model("tiny_test", str(tmp_path / "out"))
+        assert os.path.exists(archive)
+
+        name = api.import_model(archive, model_name="tiny_imported")
+        assert name == "tiny_imported"
+        assert "tiny_imported" in api.get_configs()
