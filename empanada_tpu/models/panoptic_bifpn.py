@@ -74,10 +74,11 @@ class PanopticBiFPN(nn.Module):
         sem = self.semantic_head(semantic_x, train)
         ctr_hmp = self.ins_center(instance_x, train)
         offsets = self.ins_xy(instance_x, train)
+        up_ins = train or interpolate_ins
         return {
             "sem_logits": self._up4(sem),
-            "ctr_hmp": self._up4(ctr_hmp),
-            "offsets": self._up4(offsets),
+            "ctr_hmp": self._up4(ctr_hmp) if up_ins else ctr_hmp,
+            "offsets": self._up4(offsets) if up_ins else offsets,
         }
 
     def __call__(self, x, train: bool = False, render_steps: int = 2, interpolate_ins: bool = True):

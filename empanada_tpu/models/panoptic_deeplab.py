@@ -121,10 +121,13 @@ class PanopticDeepLab(nn.Module):
         sem = self.semantic_head(semantic_x, train)
         ctr_hmp = self.ins_center(instance_x, train)
         offsets = self.ins_xy(instance_x, train)
+        # honor the render contract in eval: when interpolate_ins is False the
+        # instance maps stay at 1/4 res for coarse-boundaries pixel grouping
+        up_ins = train or interpolate_ins
         return {
             "sem_logits": self._up4(sem),
-            "ctr_hmp": self._up4(ctr_hmp),
-            "offsets": self._up4(offsets),
+            "ctr_hmp": self._up4(ctr_hmp) if up_ins else ctr_hmp,
+            "offsets": self._up4(offsets) if up_ins else offsets,
         }
 
     def __call__(self, x, train: bool = False, render_steps: int = 2, interpolate_ins: bool = True):

@@ -1,0 +1,180 @@
+"""Training-layer tests: losses, freezing, metrics, and a real end-to-end
+mini training run on synthetic data (loss must drop and the trained model
+must segment held-out blobs better than chance)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+import empanada_tpu.train as T
+from empanada_tpu.data.targets import heatmap_and_offsets
+from empanada_tpu.models import create_model
+
+
+def make_blob_example(rng, size=64, n_blobs=3):
+    """Dark disks on bright noise; mask = instance labels."""
+    img = rng.normal(0.8, 0.05, (size, size))
+    mask = np.zeros((size, size), dtype=np.int64)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n_blobs):
+        cy, cx = rng.integers(10, size - 10, 2)
+        r = rng.integers(4, 9)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
+        img[blob] = rng.normal(0.25, 0.05)
+        mask[blob] = i + 1
+    img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    return img, mask
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("blobs")
+    rng = np.random.default_rng(11)
+    for split in ("train", "eval"):
+        d = root / split / "source_a"
+        (d / "images").mkdir(parents=True)
+        (d / "masks").mkdir(parents=True)
+        for i in range(12 if split == "train" else 2):
+            img, mask = make_blob_example(rng)
+            Image.fromarray(img).save(d / "images" / f"{i:03d}.png")
+            Image.fromarray(mask.astype(np.uint16)).save(d / "masks" / f"{i:03d}.png")
+    return str(root)
+
+
+class TestLosses:
+    def test_panoptic_loss_finite(self, rng):
+        out = {
+            "sem_logits": jnp.asarray(rng.normal(size=(2, 16, 16, 1)), jnp.float32),
+            "ctr_hmp": jnp.asarray(rng.random((2, 16, 16, 1)), jnp.float32),
+            "offsets": jnp.asarray(rng.normal(size=(2, 16, 16, 2)), jnp.float32),
+        }
+        tgt = {
+            "sem": jnp.asarray(rng.integers(0, 2, (2, 16, 16)), jnp.int32),
+            "ctr_hmp": jnp.asarray(rng.random((2, 16, 16, 1)), jnp.float32),
+            "offsets": jnp.asarray(rng.normal(size=(2, 16, 16, 2)), jnp.float32),
+        }
+        total, aux = T.PanopticLoss()(out, tgt)
+        assert np.isfinite(float(total))
+        assert set(aux) >= {"ce", "l1", "mse", "total_loss"}
+
+    def test_offset_l1_empty_mask_is_zero(self):
+        out = jnp.ones((1, 4, 4, 2))
+        tgt = jnp.zeros((1, 4, 4, 2))
+        w = jnp.zeros((1, 4, 4, 1))
+        assert float(T.offset_l1(out, tgt, w)) == 0.0
+
+    def test_bootstrap_ce_topk(self):
+        # fraction 1.0 equals plain mean BCE
+        logits = jnp.asarray([[[[2.0]], [[-2.0]]]])  # (1, 2, 1, 1)
+        labels = jnp.asarray([[[1], [0]]])  # matching shape (1, 2, 1)
+        full = T.bootstrap_ce(logits, labels, 1.0)
+        top = T.bootstrap_ce(logits, labels, 0.5)
+        assert float(top) >= float(full)
+
+
+class TestFreezing:
+    def test_freeze_stages(self):
+        model = create_model(
+            "PanopticDeepLab", encoder="resnet18", num_classes=1,
+            decoder_channels=16, low_level_channels_project=(8, 8, 8),
+        )
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 1)), train=False
+        )
+        params = variables["params"]
+        mask_all = T.freeze_encoder_mask(params, "all")
+        enc_leaves = jax.tree.leaves(mask_all["encoder"])
+        assert not any(enc_leaves)
+        assert all(jax.tree.leaves(mask_all["semantic_decoder"]))
+
+        mask_s2 = T.freeze_encoder_mask(params, "stage2")
+        assert not any(jax.tree.leaves(mask_s2["encoder"]["layer1_block1"]))
+        assert not any(jax.tree.leaves(mask_s2["encoder"]["layer2_block1"]))
+        assert all(jax.tree.leaves(mask_s2["encoder"]["layer3_block1"]))
+
+
+class TestMetrics:
+    def test_iou_perfect(self):
+        sem = np.zeros((1, 8, 8), np.int32)
+        sem[0, :4] = 1
+        logits = np.where(sem > 0, 5.0, -5.0)[..., None].astype(np.float32)
+        m = T.IoU(T.AverageMeter, [1])
+        vals = m.calculate({"sem_logits": logits}, {"sem": sem})
+        assert vals[1] == pytest.approx(1.0, abs=1e-3)
+
+    def test_pq_f1(self):
+        pan = np.zeros((16, 16), np.int64)
+        pan[2:8, 2:8] = 1001
+        pan[10:14, 10:14] = 1002
+        pq = T.PQ(T.AverageMeter, [1], label_divisor=1000)
+        f1 = T.F1(T.AverageMeter, [1], label_divisor=1000)
+        assert pq.calculate({"pan_seg": pan}, {"pan_seg": pan})[1] == pytest.approx(1.0, abs=1e-4)
+        assert f1.calculate({"pan_seg": pan}, {"pan_seg": pan})[1] == pytest.approx(1.0)
+        # shifted prediction loses one instance
+        pred = np.zeros_like(pan)
+        pred[2:8, 2:8] = 1001
+        assert f1.calculate({"pan_seg": pred}, {"pan_seg": pan})[1] == pytest.approx(2 / 3, abs=1e-3)
+
+
+class TestEndToEndTraining:
+    def test_main_learns(self, synthetic_dataset_dir, tmp_path):
+        config = {
+            "model_name": "tiny_blobs",
+            "seed": 0,
+            "MODEL": {
+                "arch": "PanopticDeepLab",
+                "encoder": "resnet18",
+                "decoder_channels": 32,
+                "low_level_stages": [1],
+                "low_level_channels_project": [16],
+                "ins_decoder": False,
+            },
+            "DATASET": {
+                "class_names": {1: "blob"},
+                "labels": [1],
+                "thing_list": [1],
+                "norms": {"mean": 0.6, "std": 0.2},
+            },
+            "TRAIN": {
+                "train_dir": os.path.join(synthetic_dataset_dir, "train"),
+                "model_dir": str(tmp_path),
+                "save_freq": 100,
+                "amp": False,
+                "epochs": 30,
+                "batch_size": 4,
+                "print_freq": 30,
+                "criterion": "PanopticLoss",
+                "criterion_params": {"top_k_percent": 0.2},
+                "schedule_params": {"max_lr": 3e-3, "pct_start": 0.3},
+                "optimizer_params": {"weight_decay": 0.01},
+                "dataset_class": "SingleClassInstanceDataset",
+                "dataset_params": {"weight_gamma": 0.3},
+                "augmentations": [
+                    {"aug": "RandomCrop", "height": 64, "width": 64},
+                ],
+                "metrics": [],
+            },
+        }
+        model, state = T.main(config)
+
+        # the trained model must segment a held-out blob image decently
+        from empanada_tpu.train.state import make_eval_step
+
+        rng = np.random.default_rng(99)
+        img, mask = make_blob_example(rng)
+        norm = (img.astype(np.float32) - 0.6 * 255) / (0.2 * 255)
+        out = make_eval_step()(state, jnp.asarray(norm)[None, ..., None])
+        pred = np.asarray(out["sem_logits"][0, ..., 0]) > 0
+        gt = mask > 0
+        iou = np.logical_and(pred, gt).sum() / max(1, np.logical_or(pred, gt).sum())
+        assert iou > 0.3, f"trained model IoU too low: {iou:.3f}"
+
+        # checkpoint written and restorable
+        ckpt = os.path.join(str(tmp_path), "tiny_blobs_checkpoint.msgpack")
+        assert os.path.exists(ckpt)
+        restored = T.load_checkpoint(ckpt, state)
+        assert int(restored.step) == int(state.step)
