@@ -1,0 +1,282 @@
+"""Command-line entry points.
+
+The reference exposes its functionality as napari GUI commands
+(empanada_napari/napari.yaml); the TPU-native build exposes the same
+capabilities as terminal commands so they run headless on TPU hosts:
+
+  empanada-tpu infer2d   <image> --model MitoNet_v1 [--tile-size 2048] ...
+  empanada-tpu infer3d   <volume> [--orthoplane] [--store out.zarr] ...
+  empanada-tpu train     <config.yaml>
+  empanada-tpu finetune  <config.yaml>
+  empanada-tpu evaluate  <gt.json> <pred.json>
+  empanada-tpu models    [list|export|import|archive]
+  empanada-tpu tiles     [chop|merge]
+
+Usage: python -m empanada_tpu.cli <command> ... (also installed as
+``empanada-tpu`` via the console-scripts entry point).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_array(path: str):
+    from PIL import Image
+
+    if path.endswith(".npy"):
+        return np.load(path)
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, ".zarray")):
+        from empanada_tpu.core.chunked import open_chunked
+
+        return open_chunked(path)
+    img = Image.open(path)
+    if getattr(img, "n_frames", 1) > 1:
+        frames = []
+        for i in range(img.n_frames):
+            img.seek(i)
+            frames.append(np.asarray(img))
+        return np.stack(frames)
+    return np.asarray(img)
+
+
+def _save_labels(path: str, labels: np.ndarray):
+    if path.endswith(".npy"):
+        np.save(path, labels)
+    else:
+        from empanada_tpu.curation.export import export_segmentations
+
+        export_segmentations(
+            labels, os.path.dirname(path) or ".",
+            prefix=os.path.splitext(os.path.basename(path))[0], as_stack=True,
+        )
+
+
+def _model_config(name_or_path: str) -> dict:
+    from empanada_tpu.api import get_configs, read_yaml
+
+    if os.path.isfile(name_or_path):
+        return read_yaml(name_or_path)
+    configs = get_configs()
+    if name_or_path not in configs:
+        raise SystemExit(
+            f"unknown model '{name_or_path}'; registered: {sorted(configs)}"
+        )
+    return read_yaml(configs[name_or_path])
+
+
+def cmd_infer2d(args):
+    from empanada_tpu.api import Engine2d
+
+    config = _model_config(args.model)
+    engine = Engine2d(
+        config,
+        inference_scale=args.downsampling,
+        label_divisor=args.label_divisor,
+        nms_threshold=args.center_confidence,
+        nms_kernel=args.nms_kernel,
+        confidence_thr=args.segment_confidence,
+        semantic_only=args.semantic_only,
+        fine_boundaries=args.fine_boundaries,
+        tile_size=args.tile_size,
+    )
+    image = np.asarray(_load_array(args.image))
+    pan = engine.infer(image)
+    _save_labels(args.output, pan)
+    n = (np.unique(pan) > args.label_divisor).sum()
+    print(f"wrote {args.output}: {pan.shape}, {n} instances")
+
+
+def cmd_infer3d(args):
+    from empanada_tpu.api import Engine3d, stack_postprocessing, tracker_consensus
+    from empanada_tpu.parallel import MultiChipEngine3d
+
+    config = _model_config(args.model)
+    common = dict(
+        inference_scale=args.downsampling,
+        label_divisor=args.label_divisor,
+        median_kernel_size=args.median_slices,
+        nms_threshold=args.center_confidence,
+        nms_kernel=args.nms_kernel,
+        confidence_thr=args.segment_confidence,
+        semantic_only=args.semantic_only,
+        fine_boundaries=args.fine_boundaries,
+        min_size=args.min_size,
+        min_extent=args.min_extent,
+        store_url=args.store,
+        save_panoptic=args.save_panoptic,
+    )
+    if args.multichip:
+        engine = MultiChipEngine3d(config, batch_size=args.batch_size, **common)
+    else:
+        engine = Engine3d(config, **common)
+
+    volume = _load_array(args.volume)
+    if args.orthoplane:
+        trackers = engine.infer_orthoplane(volume)
+        worker = tracker_consensus(
+            trackers, args.store, config,
+            label_divisor=args.label_divisor,
+            pixel_vote_thr=args.pixel_vote_thr,
+            cluster_iou_thr=args.cluster_iou_thr,
+            allow_one_view=args.allow_one_view,
+            min_size=args.min_size, min_extent=args.min_extent,
+        )
+    else:
+        _, axis_trackers = engine.infer_on_axis(volume, args.axis)
+        worker = stack_postprocessing(
+            {args.axis: axis_trackers}, args.store, config,
+            label_divisor=args.label_divisor,
+            min_size=args.min_size, min_extent=args.min_extent,
+        )
+
+    for vol, class_name, instances in worker:
+        print(f"class {class_name}: {len(instances)} instances")
+        if args.store is None and args.output:
+            out = args.output.replace("{class}", class_name)
+            _save_labels(out, np.asarray(vol))
+            print(f"wrote {out}")
+
+
+def cmd_train(args):
+    from empanada_tpu.api import load_config
+    from empanada_tpu.train import main as train_main
+
+    config = load_config(args.config)
+    train_main(config)
+
+
+def cmd_finetune(args):
+    from empanada_tpu.api import load_config
+    from empanada_tpu.train import finetune_main
+
+    config = load_config(args.config)
+    if isinstance(config.get("model_config"), str):
+        config["model_config"] = _model_config(config["model_config"])
+    _, _, bundle = finetune_main(config)
+    print(f"finetuned bundle: {bundle}")
+
+
+def cmd_evaluate(args):
+    from empanada_tpu.eval import default_evaluator
+
+    results = default_evaluator()(args.gt, args.pred)
+    print(json.dumps({k: float(v) for k, v in results.items()}, indent=2))
+
+
+def cmd_models(args):
+    from empanada_tpu.api import archive_model, export_model, get_configs, import_model
+
+    if args.action == "list":
+        for name, path in sorted(get_configs().items()):
+            print(f"{name}\t{path}")
+    elif args.action == "export":
+        print(export_model(args.name, args.path))
+    elif args.action == "import":
+        print(import_model(args.path, model_name=args.name))
+    elif args.action == "archive":
+        print(archive_model(args.name, args.path))
+
+
+def cmd_tiles(args):
+    from empanada_tpu.curation import chop_into_tiles, merge_tiles
+
+    if args.action == "chop":
+        meta = chop_into_tiles(args.image, args.dir, patch_size=args.patch_size,
+                               mask_path=args.mask)
+        print(json.dumps(meta))
+    else:
+        print(json.dumps(merge_tiles(args.dir, args.out)))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def build_parser():
+    p = argparse.ArgumentParser("empanada-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common_infer(sp):
+        sp.add_argument("--model", default="MitoNet_v1")
+        sp.add_argument("--downsampling", type=int, default=1)
+        sp.add_argument("--label-divisor", type=int, default=1000, dest="label_divisor")
+        sp.add_argument("--center-confidence", type=float, default=0.1, dest="center_confidence")
+        sp.add_argument("--nms-kernel", type=int, default=3, dest="nms_kernel")
+        sp.add_argument("--segment-confidence", type=float, default=0.3, dest="segment_confidence")
+        sp.add_argument("--semantic-only", action="store_true", dest="semantic_only")
+        sp.add_argument("--fine-boundaries", action="store_true", dest="fine_boundaries")
+
+    sp = sub.add_parser("infer2d", help="2D panoptic inference (tiled for big images)")
+    sp.add_argument("image")
+    sp.add_argument("-o", "--output", default="pan_seg.npy")
+    sp.add_argument("--tile-size", type=int, default=0, dest="tile_size")
+    common_infer(sp)
+    sp.set_defaults(func=cmd_infer2d)
+
+    sp = sub.add_parser("infer3d", help="3D stack / ortho-plane inference")
+    sp.add_argument("volume")
+    sp.add_argument("-o", "--output", default="seg_{class}.npy")
+    sp.add_argument("--axis", default="xy", choices=["xy", "xz", "yz"])
+    sp.add_argument("--orthoplane", action="store_true")
+    sp.add_argument("--multichip", action="store_true")
+    sp.add_argument("--batch-size", type=int, default=None, dest="batch_size")
+    sp.add_argument("--median-slices", type=int, default=3, dest="median_slices")
+    sp.add_argument("--min-size", type=int, default=500, dest="min_size")
+    sp.add_argument("--min-extent", type=int, default=4, dest="min_extent")
+    sp.add_argument("--pixel-vote-thr", type=int, default=2, dest="pixel_vote_thr")
+    sp.add_argument("--cluster-iou-thr", type=float, default=0.75, dest="cluster_iou_thr")
+    sp.add_argument("--allow-one-view", action="store_true", dest="allow_one_view")
+    sp.add_argument("--store", default=None, help="chunked (zarr) store directory")
+    sp.add_argument("--save-panoptic", action="store_true", dest="save_panoptic")
+    common_infer(sp)
+    sp.set_defaults(func=cmd_infer3d)
+
+    sp = sub.add_parser("train", help="train from a yaml config")
+    sp.add_argument("config")
+    sp.set_defaults(func=cmd_train)
+
+    sp = sub.add_parser("finetune", help="finetune a registered model")
+    sp.add_argument("config")
+    sp.set_defaults(func=cmd_finetune)
+
+    sp = sub.add_parser("evaluate", help="compare RLE-JSON tracker dumps")
+    sp.add_argument("gt")
+    sp.add_argument("pred")
+    sp.set_defaults(func=cmd_evaluate)
+
+    sp = sub.add_parser("models", help="registry operations")
+    sp.add_argument("action", choices=["list", "export", "import", "archive"])
+    sp.add_argument("--name", default=None)
+    sp.add_argument("--path", default=None)
+    sp.set_defaults(func=cmd_models)
+
+    sp = sub.add_parser("tiles", help="offline big-image tiling")
+    sp.add_argument("action", choices=["chop", "merge"])
+    sp.add_argument("--image", default=None)
+    sp.add_argument("--mask", default=None)
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--out", default="merged")
+    sp.add_argument("--patch-size", type=int, default=2048, dest="patch_size")
+    sp.set_defaults(func=cmd_tiles)
+
+    sp = sub.add_parser("bench", help="run the throughput benchmark")
+    sp.set_defaults(func=cmd_bench)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
