@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -72,20 +73,19 @@ class SeparableConv(nn.Module):
         return x
 
 
-class _BN(nn.Module):
-    """BatchNorm matching torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5)."""
+def batch_norm(x, train: bool, dtype, name: str = "bn"):
+    """BatchNorm matching torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5).
 
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+    Inline submodule so params live at ``<parent>/<name>/{scale,bias}`` —
+    keeps paths 1:1 with the torch weight-port name map.
+    """
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )(x)
 
 
 _ACTS: dict = {
@@ -121,7 +121,7 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = _BN(dtype=self.dtype)(x, train)
+        x = batch_norm(x, train, self.dtype)
         act = _ACTS[self.activation]
         return act(x) if act is not None else x
 
@@ -141,7 +141,7 @@ class SeparableConvBnAct(nn.Module):
             self.nout, self.kernel_size, self.stride, use_bias=False,
             dtype=self.dtype, name="sepconv",
         )(x)
-        x = _BN(dtype=self.dtype)(x, train)
+        x = batch_norm(x, train, self.dtype)
         act = _ACTS[self.activation]
         return act(x) if act is not None else x
 
@@ -165,7 +165,7 @@ class ConvTransposeBnAct(nn.Module):
             dtype=self.dtype,
             name="tconv",
         )(x)
-        x = _BN(dtype=self.dtype)(x, train)
+        x = batch_norm(x, train, self.dtype)
         act = _ACTS[self.activation]
         return act(x) if act is not None else x
 
@@ -179,7 +179,10 @@ class SqueezeExcite(nn.Module):
     def __call__(self, x):
         nin = x.shape[-1]
         ns = nin // 4
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # exact global pooling even under spatial sharding
+        from empanada_tpu.parallel.spatial import spatial_global_mean
+
+        s = spatial_global_mean(x)
         s = nn.Conv(ns, (1, 1), use_bias=True, dtype=self.dtype, name="squeeze")(s)
         s = nn.relu(s)
         s = nn.Conv(nin, (1, 1), use_bias=True, dtype=self.dtype, name="excite")(s)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,7 +52,10 @@ class ASPP(nn.Module):
         # image pooling branch: global average (or fixed window during
         # training, reference set_image_pooling), conv+relu, bilinear upsample
         if self.pool_size is None:
-            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+            # exact global pooling even under spatial sharding
+            from empanada_tpu.parallel.spatial import spatial_global_mean
+
+            pooled = spatial_global_mean(x)
         else:
             k = self.pool_size
             pooled = nn.avg_pool(x, (k, k), strides=(1, 1))

@@ -13,7 +13,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from empanada_tpu.models.blocks import ConvBnAct, _BN, max_pool_2d
+from empanada_tpu.models.blocks import ConvBnAct, batch_norm, max_pool_2d
 
 __all__ = [
     "ResNet",
@@ -110,7 +110,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        x = _BN(dtype=self.dtype, name="stem")(x, train)
+        x = batch_norm(x, train, self.dtype, name="stem_bn")
         x = nn.relu(x)
         p1 = max_pool_2d(x, 3, 2, 1)
 

@@ -1,0 +1,282 @@
+"""Torch -> flax weight porting.
+
+Maps reference empanada PyTorch state dicts (``empanada/models/*`` module
+naming — the same naming the deployed TorchScript archives carry) onto this
+framework's flax parameter trees, so published MitoNet/NucleoNet/DropNet
+weights can run TPU-native with numerical parity.
+
+Conversion rules:
+- conv:            OIHW -> HWIO (also grouped/depthwise, same transpose)
+- conv transpose:  IOHW -> HWIO with (in, out) kept as (in, out)
+- 1x1 conv1d (PointRend MLP): (out, in, 1) -> Dense kernel (in, out)
+- batchnorm:       weight/bias -> scale/bias; running stats -> batch_stats
+
+Only a name map is needed beyond that; see the per-architecture builders.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+__all__ = ["port_state_dict", "load_torch_checkpoint"]
+
+
+def _np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _conv(t):
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def _tconv(t):
+    return _np(t).transpose(2, 3, 0, 1)
+
+
+def _dense1d(t):
+    return _np(t)[..., 0].transpose(1, 0)
+
+
+class _TreeBuilder:
+    def __init__(self, state_dict: Dict[str, "object"]):
+        self.sd = dict(state_dict)
+        self.params: dict = {}
+        self.batch_stats: dict = {}
+        self.used = set()
+
+    def _set(self, tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def conv(self, torch_name, *flax_path, bias_name=None, transpose=_conv):
+        self._set(self.params, list(flax_path) + ["kernel"], transpose(self.sd[torch_name]))
+        self.used.add(torch_name)
+        if bias_name and bias_name in self.sd:
+            self._set(self.params, list(flax_path) + ["bias"], _np(self.sd[bias_name]))
+            self.used.add(bias_name)
+
+    def dense1d(self, torch_prefix, *flax_path):
+        self._set(self.params, list(flax_path) + ["kernel"], _dense1d(self.sd[torch_prefix + ".weight"]))
+        self._set(self.params, list(flax_path) + ["bias"], _np(self.sd[torch_prefix + ".bias"]))
+        self.used.update({torch_prefix + ".weight", torch_prefix + ".bias"})
+
+    def bn(self, torch_prefix, *flax_path, leaf="bn"):
+        path = list(flax_path) + [leaf]
+        self._set(self.params, path + ["scale"], _np(self.sd[torch_prefix + ".weight"]))
+        self._set(self.params, path + ["bias"], _np(self.sd[torch_prefix + ".bias"]))
+        self._set(self.batch_stats, path + ["mean"], _np(self.sd[torch_prefix + ".running_mean"]))
+        self._set(self.batch_stats, path + ["var"], _np(self.sd[torch_prefix + ".running_var"]))
+        self.used.update(
+            torch_prefix + s for s in (".weight", ".bias", ".running_mean", ".running_var")
+        )
+
+    def conv_bn(self, torch_conv, torch_bn, *flax_path):
+        """conv_bn_act block: conv (no bias) + BN."""
+        self.conv(torch_conv, *flax_path, "conv")
+        self.bn(torch_bn, *flax_path)
+
+    def sep_conv_bn(self, torch_prefix, *flax_path):
+        """separable_conv_bn_act: {prefix}.0.sepconv.{0,1} convs + {prefix}.1 BN."""
+        self.conv(torch_prefix + ".0.sepconv.0.weight", *flax_path, "sepconv", "depthwise")
+        self.conv(torch_prefix + ".0.sepconv.1.weight", *flax_path, "sepconv", "pointwise")
+        self.bn(torch_prefix + ".1", *flax_path)
+
+    def head(self, torch_prefix, *flax_path):
+        """PanopticDeepLabHead: head.0 sepconv-bn + head.1 1x1 conv w/ bias."""
+        self.sep_conv_bn(torch_prefix + ".head.0", *flax_path, "conv")
+        self.conv(
+            torch_prefix + ".head.1.weight", *flax_path, "predict",
+            bias_name=torch_prefix + ".head.1.bias",
+        )
+
+
+def _port_resnet(b: _TreeBuilder, layers, torch_prefix="encoder", flax_prefix="encoder",
+                 block="bottleneck"):
+    b.conv(f"{torch_prefix}.conv1.weight", flax_prefix, "stem_conv")
+    b.bn(f"{torch_prefix}.bn1", flax_prefix, leaf="stem_bn")
+    n_convs = 3 if block == "bottleneck" else 2
+    for k, depth in enumerate(layers, start=1):
+        for j in range(depth):
+            tb = f"{torch_prefix}.layer{k}.{j}"
+            fb = (flax_prefix, f"layer{k}_block{j + 1}")
+            for c in range(1, n_convs + 1):
+                b.conv_bn(f"{tb}.conv{c}.weight", f"{tb}.bn{c}", *fb, f"cba{c}")
+            if f"{tb}.downsample.0.weight" in b.sd:
+                b.conv_bn(f"{tb}.downsample.0.weight", f"{tb}.downsample.1", *fb, "downsample")
+
+
+def _port_pdl_decoder(b: _TreeBuilder, torch_prefix, flax_prefix, n_stages, n_rates=3):
+    tp = torch_prefix
+    b.conv_bn(f"{tp}.aspp.convs.0.0.weight", f"{tp}.aspp.convs.0.1", flax_prefix, "aspp", "conv1x1")
+    for i in range(1, n_rates + 1):
+        b.conv_bn(
+            f"{tp}.aspp.convs.{i}.0.weight", f"{tp}.aspp.convs.{i}.1",
+            flax_prefix, "aspp", f"aspp_conv{i}",
+        )
+    b.conv(f"{tp}.aspp.convs.{n_rates + 1}.aspp_pooling.1.weight", flax_prefix, "aspp", "pool_conv")
+    b.conv_bn(f"{tp}.aspp.project.0.weight", f"{tp}.aspp.project.1", flax_prefix, "aspp", "project")
+    for i in range(n_stages):
+        b.conv_bn(f"{tp}.project.{i}.0.weight", f"{tp}.project.{i}.1", flax_prefix, f"project{i}")
+        b.sep_conv_bn(f"{tp}.fuse.{i}", flax_prefix, f"fuse{i}")
+
+
+def _port_regnet(b: _TreeBuilder, widths, depths, use_se, torch_prefix="encoder",
+                 flax_prefix="encoder"):
+    b.conv_bn(f"{torch_prefix}.stem.cbr.0.weight", f"{torch_prefix}.stem.cbr.1",
+              flax_prefix, "stem")
+    for k, depth in enumerate(depths, start=1):
+        for j in range(1, depth + 1):
+            tb = f"{torch_prefix}.stage{k}.block{j}"
+            fb = (flax_prefix, f"stage{k}_block{j}")
+            for name in ("a", "b", "c"):
+                b.conv_bn(f"{tb}.bottleneck.{name}.0.weight", f"{tb}.bottleneck.{name}.1",
+                          *fb, name)
+            if use_se:
+                b.conv(f"{tb}.bottleneck.se.se.0.weight", *fb, "se", "squeeze",
+                       bias_name=f"{tb}.bottleneck.se.se.0.bias")
+                b.conv(f"{tb}.bottleneck.se.se.2.weight", *fb, "se", "excite",
+                       bias_name=f"{tb}.bottleneck.se.se.2.bias")
+            if f"{tb}.downsample.conv.0.weight" in b.sd:
+                b.conv_bn(f"{tb}.downsample.conv.0.weight", f"{tb}.downsample.conv.1",
+                          *fb, "downsample", "conv")
+
+
+def _port_resample(b: _TreeBuilder, torch_prefix, *flax_path):
+    if f"{torch_prefix}.conv.0.weight" in b.sd:
+        b.conv_bn(f"{torch_prefix}.conv.0.weight", f"{torch_prefix}.conv.1",
+                  *flax_path, "conv")
+
+
+def _port_bifpn(b: _TreeBuilder, torch_prefix, flax_prefix, num_layers=3, n_scales=5):
+    """BiFPN: P6 resample + stacked layers of top-down/bottom-up passes.
+
+    The reference shares one after-combine conv across levels (appended N
+    times to the ModuleList) — all copies hold the same tensors, so mapping
+    ``after_combines.0`` and marking the rest used is sufficient.
+    """
+    tp = torch_prefix
+    _port_resample(b, f"{tp}.p6_resample", flax_prefix, "p6_resample")
+    for i in range(num_layers):
+        for torch_dir, flax_dir, n_levels in (
+            ("top_down_fpn", "top_down", n_scales - 1),
+            ("bottom_up_fpn", "bottom_up", n_scales - 1),
+        ):
+            tl = f"{tp}.bifpns.{i}.{torch_dir}"
+            fl = (flax_prefix, f"bifpn{i + 1}", flax_dir)
+            b._set(b.params, list(fl) + ["fusion_weights"], _np(b.sd[f"{tl}.weights"]))
+            b.used.add(f"{tl}.weights")
+            b.sep_conv_bn(f"{tl}.after_combines.0", *fl, "after_combine")
+            # the remaining shared copies are the same tensors
+            for j in range(1, n_levels):
+                for suffix in (
+                    ".0.sepconv.0.weight", ".0.sepconv.1.weight",
+                    ".1.weight", ".1.bias", ".1.running_mean", ".1.running_var",
+                ):
+                    b.used.add(f"{tl}.after_combines.{j}{suffix}")
+            for j in range(n_levels):
+                _port_resample(b, f"{tl}.resamplings.{j}", *fl, f"resample{j}")
+
+
+def _port_bifpn_decoder(b: _TreeBuilder, torch_prefix, flax_prefix, n_scales=5):
+    for i in range(n_scales):
+        b.conv(f"{torch_prefix}.upsamplings.{i}.0.weight", flax_prefix, f"up{i}", "tconv",
+               transpose=_tconv)
+        b.bn(f"{torch_prefix}.upsamplings.{i}.1", flax_prefix, f"up{i}")
+    b.sep_conv_bn(f"{torch_prefix}.fusion", flax_prefix, "fusion")
+
+
+def _port_point_rend(b: _TreeBuilder, torch_prefix, flax_prefix, num_fc=3):
+    for k in range(num_fc):
+        b.dense1d(f"{torch_prefix}.point_head.fc_layers.{k}.0", flax_prefix, "point_head", f"fc{k + 1}")
+    b.dense1d(f"{torch_prefix}.point_head.predictor", flax_prefix, "point_head", "predictor")
+
+
+def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
+    """Port a reference torch state dict to flax variables for ``arch``.
+
+    Supported archs: PanopticDeepLab, PanopticDeepLabPR, PanopticDeepLabBC
+    (resnet encoders).  Returns {'params': ..., 'batch_stats': ...}.
+    """
+    from empanada_tpu.models.resnet import resnet_configs
+
+    # strip DataParallel / quantization wrappers
+    state_dict = {
+        re.sub(r"^(module\.)", "", k): v for k, v in state_dict.items()
+        if not k.endswith(("num_batches_tracked",))
+        and ".activation_post_process" not in k and not k.startswith(("quant.", "dequant."))
+    }
+
+    b = _TreeBuilder(state_dict)
+    encoder = model_kwargs.get("encoder", "resnet50")
+
+    if arch.startswith("PanopticBiFPN"):
+        from empanada_tpu.models.regnet import RegNetParams, regnet_configs
+
+        if encoder in resnet_configs:
+            enc_cfg = resnet_configs[encoder]
+            _port_resnet(b, enc_cfg["layers"], block=enc_cfg["block"])
+        else:
+            p = RegNetParams(**regnet_configs[encoder])
+            _port_regnet(b, p.widths, p.depths, p.use_se)
+        _port_resample(b, "p2_resample", "p2_resample")
+        fpn_layers = model_kwargs.get("fpn_layers", 3)
+        _port_bifpn(b, "semantic_fpn", "semantic_fpn", fpn_layers)
+        _port_bifpn_decoder(b, "semantic_decoder", "semantic_decoder")
+        if model_kwargs.get("ins_decoder"):
+            _port_bifpn(b, "instance_fpn", "instance_fpn", fpn_layers)
+            _port_bifpn_decoder(b, "instance_decoder", "instance_decoder")
+        b.head("semantic_head", "semantic_head")
+        b.head("ins_center", "ins_center")
+        b.head("ins_xy", "ins_xy")
+        if arch == "PanopticBiFPNPR":
+            _port_point_rend(b, "semantic_pr", "semantic_pr", model_kwargs.get("num_fc", 3))
+    else:
+        enc_cfg = resnet_configs[encoder]
+        _port_resnet(b, enc_cfg["layers"], block=enc_cfg["block"])
+
+        n_stages = len(model_kwargs.get("low_level_stages", (3, 2, 1)))
+        n_rates = len(model_kwargs.get("atrous_rates", (2, 4, 6)))
+        _port_pdl_decoder(b, "semantic_decoder", "semantic_decoder", n_stages, n_rates)
+        if model_kwargs.get("ins_decoder"):
+            _port_pdl_decoder(b, "instance_decoder", "instance_decoder", n_stages, n_rates)
+
+        b.head("semantic_head", "semantic_head")
+        if arch != "PanopticDeepLabBC":
+            b.head("ins_center", "ins_center")
+            b.head("ins_xy", "ins_xy")
+        else:
+            b.head("boundary_head", "boundary_head")
+
+        num_fc = model_kwargs.get("num_fc", 3)
+        if arch in ("PanopticDeepLabPR",):
+            _port_point_rend(b, "semantic_pr", "semantic_pr", num_fc)
+        elif arch == "PanopticDeepLabBC":
+            _port_point_rend(b, "semantic_pr", "semantic_pr", num_fc)
+            _port_point_rend(b, "boundary_pr", "boundary_pr", num_fc)
+
+    unused = set(state_dict) - b.used
+    if unused:
+        raise ValueError(f"unmapped torch parameters: {sorted(unused)[:10]} (+{max(0, len(unused)-10)})")
+
+    return {"params": b.params, "batch_stats": b.batch_stats}
+
+
+def load_torch_checkpoint(path: str):
+    """Load a torch checkpoint file's state dict (handles the reference's
+    {arch, state_dict, norms} training checkpoints and raw state dicts)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(blob, "state_dict"):
+        return blob.state_dict(), getattr(blob, "arch", None)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        return blob["state_dict"], blob.get("arch")
+    return blob, None

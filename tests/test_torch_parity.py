@@ -1,0 +1,166 @@
+"""Numerical parity against the reference PyTorch implementation.
+
+Builds the reference's own torch models (executed from /root/reference,
+random weights + randomized BN stats), ports the state dict with
+empanada_tpu.port, and asserts forward-pass parity.  This validates the
+entire model stack (encoders, ASPP/PDL decoder, BiFPN, heads, interpolation
+semantics) and is the gate for running published MitoNet weights TPU-native.
+
+Skipped when /root/reference or torch is unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+import os
+
+if not os.path.isdir(os.path.join(REFERENCE, "empanada")):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import jax
+import jax.numpy as jnp
+
+from empanada_tpu.models import create_model
+from empanada_tpu.port import port_state_dict
+
+
+def _randomize_bn(tmodel, seed=3):
+    """Untrained BN stats (mean 0 / var 1) make outputs near-constant and
+    top-k selection degenerate; randomize for realistic spatial variation."""
+    g = torch.Generator().manual_seed(seed)
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def _compare(tmodel, arch, kw, x, render_steps=None, atol=1e-5):
+    variables = port_state_dict(tmodel.state_dict(), arch, kw)
+    fkw = {k: v for k, v in kw.items() if k != "subdivision_steps"}
+    fmodel = create_model(arch, **fkw)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x))
+    apply = jax.jit(
+        fmodel.apply, static_argnames=("train", "render_steps", "interpolate_ins")
+    )
+    kwargs = {}
+    if render_steps is not None:
+        kwargs = dict(render_steps=render_steps, interpolate_ins=True)
+    fout = apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False, **kwargs)
+    diffs = {}
+    for key, tval in tout.items():
+        got = np.asarray(fout[key]).transpose(0, 3, 1, 2)
+        diffs[key] = float(np.abs(got - tval.numpy()).max())
+    return diffs
+
+
+@pytest.fixture(scope="module")
+def x128():
+    return np.random.default_rng(0).normal(0, 1, (1, 1, 128, 128)).astype(np.float32)
+
+
+class TestPanopticDeepLabParity:
+    def test_pdl_exact(self, x128):
+        from empanada.models import PanopticDeepLab as TorchPDL
+
+        kw = dict(
+            encoder="resnet50", num_classes=1, stage4_stride=16, decoder_channels=64,
+            low_level_stages=[1], low_level_channels_project=[32],
+            atrous_rates=[2, 4, 6], aspp_dropout=0.0, ins_decoder=True, ins_ratio=0.5,
+        )
+        tmodel = TorchPDL(**kw).eval()
+        _randomize_bn(tmodel)
+        diffs = _compare(tmodel, "PanopticDeepLab", kw, x128)
+        for key, d in diffs.items():
+            assert d < 1e-5, f"{key} diff {d}"
+
+    def test_pdl_pr_coarse_exact(self, x128):
+        """render_steps=0 isolates everything except the chaotic top-k point
+        selection (see test_point_rend_machinery)."""
+        from empanada.models import PanopticDeepLabPR as TorchPR
+
+        kw = dict(
+            encoder="resnet50", num_classes=1, stage4_stride=16, decoder_channels=64,
+            low_level_stages=[1], low_level_channels_project=[32],
+            atrous_rates=[2, 4, 6], aspp_dropout=0.0, ins_decoder=True, ins_ratio=0.5,
+            num_fc=3, train_num_points=64, oversample_ratio=3,
+            importance_sample_ratio=0.75, subdivision_steps=0,
+            subdivision_num_points=512,
+        )
+        tmodel = TorchPR(**kw).eval()
+        _randomize_bn(tmodel)
+        diffs = _compare(tmodel, "PanopticDeepLabPR", kw, x128, render_steps=0)
+        for key, d in diffs.items():
+            assert d < 1e-5, f"{key} diff {d}"
+
+    def test_resnext_multiclass(self, x128):
+        from empanada.models import PanopticDeepLab as TorchPDL
+
+        kw = dict(
+            encoder="resnext50_32x4d", num_classes=3, stage4_stride=32,
+            decoder_channels=32, low_level_stages=[3, 2, 1],
+            low_level_channels_project=[16, 8, 4], atrous_rates=[2, 4, 6],
+            aspp_dropout=0.0, ins_decoder=False,
+        )
+        tmodel = TorchPDL(**kw).eval()
+        _randomize_bn(tmodel)
+        diffs = _compare(tmodel, "PanopticDeepLab", kw, x128)
+        for key, d in diffs.items():
+            assert d < 1e-5, f"{key} diff {d}"
+
+
+class TestBiFPNParity:
+    def test_bifpn_regnet(self, x128):
+        from empanada.models import PanopticBiFPN as TorchBiFPN
+
+        kw = dict(encoder="regnety_200mf", num_classes=1, fpn_dim=32, fpn_layers=2,
+                  ins_decoder=False)
+        tmodel = TorchBiFPN(**kw).eval()
+        _randomize_bn(tmodel)
+        diffs = _compare(tmodel, "PanopticBiFPN", kw, x128)
+        for key, d in diffs.items():
+            assert d < 1e-5, f"{key} diff {d}"
+
+
+class TestPointRendMachinery:
+    def test_subdivision_exact_on_sharp_inputs(self):
+        """The full eval subdivision loop matches torch bit-for-bit when the
+        uncertainty landscape has no float-level rank ties (sharp random
+        inputs).  On near-constant maps top-k selection order is undefined
+        in both frameworks."""
+        from empanada.models.point_rend import PointRendSemSegHead as TorchHead
+
+        import empanada_tpu.models.point_rend as MPR
+        from empanada_tpu.port.torch_port import _TreeBuilder
+
+        thead = TorchHead(16, 1, num_fc=3, subdivision_steps=2, subdivision_num_points=64).eval()
+        b = _TreeBuilder(thead.state_dict())
+        for k in range(3):
+            b.dense1d(f"point_head.fc_layers.{k}.0", "ph", "point_head", f"fc{k + 1}")
+        b.dense1d("point_head.predictor", "ph", "point_head", "predictor")
+
+        rng = np.random.default_rng(2)
+        coarse = rng.normal(0, 1, (1, 1, 16, 16)).astype(np.float32)
+        feats = rng.normal(0, 1, (1, 16, 16, 16)).astype(np.float32)
+
+        with torch.no_grad():
+            tout = thead(
+                torch.from_numpy(coarse), torch.from_numpy(feats.transpose(0, 3, 1, 2))
+            )["sem_seg_logits"].numpy()
+
+        fhead = MPR.PointRendSemSegHead(num_classes=1, fc_dim=16, num_fc=3,
+                                        subdivision_num_points=64)
+        fout = fhead.apply(
+            {"params": b.params["ph"]},
+            jnp.asarray(coarse.transpose(0, 2, 3, 1)), jnp.asarray(feats),
+            train=False, subdivision_steps=2,
+        )["sem_seg_logits"]
+        fout = np.asarray(fout).transpose(0, 3, 1, 2)
+        assert np.abs(fout - tout).max() < 1e-5
