@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "bilinear_resize",
@@ -22,44 +23,76 @@ __all__ = [
 ]
 
 
-def _axis_weights(in_size: int, out_size: int, align_corners: bool, dtype):
-    """Source indices and lerp weights for 1D resize.
+def _axis_weights(in_size: int, out_size: int, align_corners: bool):
+    """Static source indices and lerp weights for 1D resize (numpy).
 
     Returns (idx0, idx1, w1) such that out[i] = in[idx0[i]]*(1-w1[i]) +
     in[idx1[i]]*w1[i].
     """
-    out_pos = jnp.arange(out_size, dtype=jnp.float32)
+    out_pos = np.arange(out_size, dtype=np.float64)
     if align_corners and out_size > 1:
         src = out_pos * (in_size - 1) / (out_size - 1)
     else:
-        scale = in_size / out_size
-        src = (out_pos + 0.5) * scale - 0.5
-    src = jnp.clip(src, 0.0, in_size - 1)
-    idx0 = jnp.floor(src).astype(jnp.int32)
-    idx1 = jnp.minimum(idx0 + 1, in_size - 1)
-    w1 = (src - idx0.astype(jnp.float32)).astype(dtype)
+        src = (out_pos + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    idx0 = np.floor(src).astype(np.int32)
+    idx1 = np.minimum(idx0 + 1, in_size - 1)
+    w1 = (src - idx0).astype(np.float32)
     return idx0, idx1, w1
 
 
-def bilinear_resize(x: jnp.ndarray, out_hw, align_corners: bool = False) -> jnp.ndarray:
-    """Bilinear resize of an NHWC tensor to (out_h, out_w)."""
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool,
+                   zeros_padding: bool = False) -> np.ndarray:
+    """Dense (out, in) interpolation matrix for 1D bilinear resize.
+
+    ``zeros_padding`` reproduces torch grid_sample's zero padding at borders
+    (out-of-range corners contribute 0) instead of edge clamping — needed
+    when a resize stands in for point_sample at pixel centers.
+    """
+    out_pos = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        src = out_pos * (in_size - 1) / (out_size - 1)
+    else:
+        src = (out_pos + 0.5) * (in_size / out_size) - 0.5
+    if not zeros_padding:
+        src = np.clip(src, 0.0, in_size - 1)
+    idx0 = np.floor(src).astype(np.int64)
+    w1 = (src - idx0).astype(np.float32)
+    idx1 = idx0 + 1
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    ok0 = (idx0 >= 0) & (idx0 < in_size)
+    ok1 = (idx1 >= 0) & (idx1 < in_size)
+    np.add.at(mat, (rows[ok0], idx0[ok0]), (1.0 - w1)[ok0])
+    np.add.at(mat, (rows[ok1], np.minimum(idx1, in_size - 1)[ok1]), w1[ok1])
+    return mat
+
+
+def bilinear_resize(x: jnp.ndarray, out_hw, align_corners: bool = False,
+                    zeros_padding: bool = False) -> jnp.ndarray:
+    """Bilinear resize of an NHWC tensor to (out_h, out_w).
+
+    Implemented as two small dense matmuls (out = A_h @ x @ A_w^T) — the
+    interpolation matrices are trace-time constants, so the resize runs on
+    the MXU instead of as serialized TPU gathers (~10x faster at these
+    sizes).  f32 inputs use precision=HIGHEST (exactness for torch parity);
+    bf16 inputs use the fast default MXU path.
+    """
     n, h, w, c = x.shape
     out_h, out_w = out_hw
     if (out_h, out_w) == (h, w):
         return x
     dtype = x.dtype
 
-    iy0, iy1, wy = _axis_weights(h, out_h, align_corners, dtype)
-    ix0, ix1, wx = _axis_weights(w, out_w, align_corners, dtype)
-
-    # rows
-    top = jnp.take(x, iy0, axis=1)
-    bot = jnp.take(x, iy1, axis=1)
-    rows = top + (bot - top) * wy[None, :, None, None]
-    # cols
-    left = jnp.take(rows, ix0, axis=2)
-    right = jnp.take(rows, ix1, axis=2)
-    return left + (right - left) * wx[None, None, :, None]
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    out = x
+    if out_h != h:
+        a_h = jnp.asarray(_resize_matrix(h, out_h, align_corners, zeros_padding), dtype)
+        out = jnp.einsum("oh,nhwc->nowc", a_h, out, precision=prec)
+    if out_w != w:
+        a_w = jnp.asarray(_resize_matrix(w, out_w, align_corners, zeros_padding), dtype)
+        out = jnp.einsum("ow,nhwc->nhoc", a_w, out, precision=prec)
+    return out.astype(dtype)
 
 
 def nearest_resize(x: jnp.ndarray, out_hw) -> jnp.ndarray:
