@@ -132,26 +132,13 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (BATCH, H, W, 1)), jnp.float32)
 
-    # Sustained on-device throughput: ITERS pipeline invocations chained
-    # inside one jitted scan (inputs perturbed per step), fetching only a
-    # scalar.  This sidesteps the dev-tunnel artifact where
-    # block_until_ready returns before remote execution finishes and a
-    # full-array fetch pays ~250 ms of RPC latency.
-    @jax.jit
-    def loop(variables, images):
-        def body(carry, k):
-            pan = pipeline_batch(variables, images + 0.001 * k.astype(jnp.float32))
-            return carry + pan.sum(), None
-        acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(ITERS))
-        return acc
+    # Sustained on-device throughput via utils.device_time: invocations are
+    # chained inside one jitted scan (inputs perturbed per step) and only a
+    # scalar is fetched — immune to the dev-tunnel artifact where
+    # block_until_ready returns early and array fetches pay ~250 ms RPC.
+    from empanada_tpu.utils import device_time
 
-    int(loop(variables, images))  # compile + warm
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(loop(variables, images))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    dt = best
+    dt = device_time(pipeline_batch, variables, images, iters=ITERS, trials=3)
 
     mvox_s = BATCH * H * W / dt / 1e6 / n_chips
     print(json.dumps({

@@ -377,9 +377,15 @@ class Engine3d:
             return np.zeros(shape3d, dtype=self.dtype)
         return None
 
-    def infer_on_axis(self, volume, axis_name: str):
+    def infer_on_axis(self, volume, axis_name: str, timer=None):
         """Slice-streamed inference with the forward matcher running in a
-        thread, backward matching, filters, and optional panoptic fill."""
+        thread, backward matching, filters, and optional panoptic fill.
+
+        ``timer``: optional empanada_tpu.utils.StageTimer for per-stage
+        wall-clock observability."""
+        from empanada_tpu.utils import StageTimer
+
+        timer = timer or StageTimer()
         axis = self.axes[axis_name]
         dataset = VolumeDataset(volume, axis, self.preprocessor, scale=self.inference_scale)
 
@@ -390,16 +396,18 @@ class Engine3d:
         stack = self.create_panoptic_stack(axis_name, volume.shape)
 
         worker = MatcherWorker(matchers, self.labels, self.label_divisor, self.thing_list)
-        for batch in dataset:
-            pan_seg = self.engine(batch["image"], batch["size"], self.inference_scale)
-            worker.put(pan_seg)
-        for pan_seg in self.engine.end(self.inference_scale):
-            worker.put(pan_seg)
-        rle_stack = worker.finish()
+        with timer.stage("device_inference+forward_matching"):
+            for batch in dataset:
+                pan_seg = self.engine(batch["image"], batch["size"], self.inference_scale)
+                worker.put(pan_seg)
+            for pan_seg in self.engine.end(self.inference_scale):
+                worker.put(pan_seg)
+            rle_stack = worker.finish()
 
         axis_len = volume.shape[axis]
-        for index, rle_seg in backward_matching(rle_stack, matchers, axis_len):
-            update_trackers(rle_seg, index, trackers)
+        with timer.stage("backward_matching"):
+            for index, rle_seg in backward_matching(rle_stack, matchers, axis_len):
+                update_trackers(rle_seg, index, trackers)
 
         finish_tracking(trackers)
         for tracker in trackers:
@@ -425,9 +433,11 @@ class Engine3d:
                 )
 
         if stack is not None:
-            fill_panoptic_volume(stack, trackers)
+            with timer.stage("fill_volume"):
+                fill_panoptic_volume(stack, trackers)
 
         self.engine.median.reset()
+        self.last_timing = timer.report()
         return stack, trackers
 
     def infer_orthoplane(self, volume):

@@ -40,6 +40,7 @@ __all__ = [
 
 MODEL_DIR = os.path.join(os.path.expanduser("~"), ".empanada_tpu")
 BUNDLE_EXT = ".eptpu"
+BUNDLE_FORMAT = 2  # bump on any incompatible param-tree rename
 
 
 def get_configs():
@@ -76,7 +77,7 @@ def save_model_bundle(path: str, arch: str, model_kwargs: dict, variables) -> st
     if not path.endswith(BUNDLE_EXT):
         path = path + BUNDLE_EXT
     payload = serialization.to_bytes(variables)
-    meta = {"arch": arch, "model_kwargs": model_kwargs, "format": 1}
+    meta = {"arch": arch, "model_kwargs": model_kwargs, "format": BUNDLE_FORMAT}
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("config.json", json.dumps(meta))
         zf.writestr("params.msgpack", payload)
@@ -88,6 +89,12 @@ def load_model_bundle(path: str, dtype=jnp.float32):
     with zipfile.ZipFile(path, "r") as zf:
         meta = json.loads(zf.read("config.json"))
         payload = zf.read("params.msgpack")
+    if meta.get("format", 1) != BUNDLE_FORMAT:
+        raise ValueError(
+            f"model bundle {path} has format {meta.get('format', 1)}, this "
+            f"build expects {BUNDLE_FORMAT}; re-export the model from its "
+            "training checkpoint"
+        )
 
     model = create_model(meta["arch"], dtype=dtype, **meta["model_kwargs"])
     # build a template pytree to restore into

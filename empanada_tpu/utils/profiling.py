@@ -1,0 +1,111 @@
+"""Tracing, timing, and observability utilities.
+
+The reference's observability is wall-clock prints + tqdm
+(empanada_napari/_slice_inference.py:325, train.py:319).  Here:
+
+- ``trace(logdir)``: jax.profiler trace context — open the result in
+  TensorBoard/Perfetto for per-op TPU timelines;
+- ``StageTimer``: per-stage wall-clock aggregation with device sync, so
+  engine pipelines report where time went (forward / postprocess / RLE /
+  matching / fill);
+- ``device_time``: sustained-timing helper that chains a jitted function
+  inside one lax.scan and fetches a scalar — the only reliable way to time
+  device work over the async dispatch / remote-tunnel boundary (see
+  bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+__all__ = ["trace", "StageTimer", "device_time"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace scope (TensorBoard-compatible)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage.
+
+    with timer.stage("forward"):
+        out = step(...)            # async dispatch is fine; sync=True
+                                   # blocks on leaves before stopping
+    print(timer.report())
+    """
+
+    def __init__(self, sync: bool = False):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.sync = sync
+        self._last_out = None
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync_on is not None:
+                jax.block_until_ready(sync_on)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "total_s": round(self.totals[name], 4),
+                "count": self.counts[name],
+                "mean_ms": round(1e3 * self.totals[name] / max(1, self.counts[name]), 3),
+            }
+            for name in self.totals
+        }
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+
+
+def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
+    """Best sustained seconds-per-call of a jitted fn.
+
+    Chains ``iters`` invocations in one lax.scan (inputs perturbed per step
+    so nothing folds), reduces outputs to a scalar, and times whole chains —
+    immune to async dispatch returning early and to per-call fetch latency.
+
+    ``perturb(args, k)`` maps the step index to fresh args; default adds
+    1e-4*k to the last array argument.
+    """
+    import jax.numpy as jnp
+
+    if perturb is None:
+        def perturb(a, k):
+            return a[:-1] + (a[-1] + 1e-4 * k.astype(jnp.float32),)
+
+    @jax.jit
+    def chain(*a):
+        def body(carry, k):
+            outs = fn(*perturb(a, k))
+            return carry + sum(
+                o.astype(jnp.float32).sum() for o in jax.tree.leaves(outs)
+            ), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return acc
+
+    float(chain(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(chain(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best

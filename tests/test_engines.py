@@ -88,3 +88,37 @@ class TestRenderEngine:
         # one output per input slice after draining
         assert len(outs) == len(vol)
         assert all(o.shape == vol[0].shape for o in outs)
+
+
+class TestBCEngine:
+    def test_bc_2d_and_3d(self, blob_volume_3d):
+        from empanada_tpu.engine import BCEngine, BCEngine3d
+        from empanada_tpu.stitch import bc_watershed
+
+        model = create_model(
+            "PanopticDeepLabBC", encoder="resnet18", num_classes=1,
+            decoder_channels=32, low_level_channels_project=(16, 8, 4),
+            subdivision_num_points=128,
+        )
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 1)), train=False
+        )
+        eng = BCEngine(model, variables)
+        img = (blob_volume_3d[0, :64, :64] / 255.0).astype(np.float32)
+        bc = eng(img)
+        assert bc.shape == (64, 64, 2)
+        assert 0.0 <= float(bc.min()) and float(bc.max()) <= 1.0
+
+        eng3 = BCEngine3d(model, variables, median_kernel_size=3, padding_factor=16)
+        outs = []
+        vol = (blob_volume_3d[:4, :64, :64] / 255.0).astype(np.float32)
+        for i in range(len(vol)):
+            out = eng3(vol[i], size=(64, 64))
+            if out is not None:
+                outs.append(out)
+        outs.extend(eng3.end())
+        assert len(outs) == len(vol)
+        # the full BC volume feeds the offline watershed
+        bc_vol = np.stack(outs).transpose(3, 0, 1, 2)  # (2, Z, H, W)
+        seg = bc_watershed((bc_vol * 255).astype(np.uint8), seed_thres=0, min_size=0)
+        assert seg.shape == vol.shape
