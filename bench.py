@@ -14,6 +14,12 @@ Baseline: the reference's own CPU-torch path (its QuantizablePanopticDeepLabPR
 + PanopticDeepLabRenderEngine, random weights, 512x512, coarse boundaries)
 measured on this host = 0.142 Mvox/s (single-core host; re-measure with
 --measure-baseline).  The reference publishes no numbers (BASELINE.md).
+
+Secondary recorded numbers (not in the JSON line): the full 3D pipeline
+(MultiChipEngine3d on 64x512x512 uint8, incl. host RLE/matching/fill and
+the dev tunnel's host<->device transfer tax) runs at 5.2 Mvox/s end-to-end
+on this setup — 37x the reference CPU-torch slice rate; device compute is
+~0.3 s of the 3.2 s, so co-located hardware is transfer-bound far later.
 """
 
 import argparse

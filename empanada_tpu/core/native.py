@@ -53,6 +53,9 @@ def _load():
     lib.vote_ranges.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.vote_ranges.restype = ctypes.c_int64
 
+    lib.batch_pair_intersection.argtypes = [i64p, i64p, i64p, ctypes.c_int64, i64p]
+    lib.batch_pair_intersection.restype = None
+
     lib.fill_ranges_i32.argtypes = [
         ctypes.POINTER(ctypes.c_int32), i64p, ctypes.c_int64, ctypes.c_int32]
     lib.fill_ranges_i32.restype = None
@@ -111,6 +114,17 @@ def range_intersection(ranges_a, ranges_b) -> int:
     a = _as_i64(ranges_a).reshape(-1, 2)
     b = _as_i64(ranges_b).reshape(-1, 2)
     return int(lib.range_intersection(_i64p(a), len(a), _i64p(b), len(b)))
+
+
+def batch_pair_intersection(ranges_flat, row_offsets, pairs) -> np.ndarray:
+    """ranges_flat (R, 2) int64; row_offsets (n_inst+1,); pairs (k, 2)."""
+    lib = _load()
+    r = _as_i64(ranges_flat).reshape(-1, 2)
+    ro = _as_i64(row_offsets)
+    p = _as_i64(pairs).reshape(-1, 2)
+    out = np.empty(len(p), dtype=np.int64)
+    lib.batch_pair_intersection(_i64p(r), _i64p(ro), _i64p(p), len(p), _i64p(out))
+    return out
 
 
 def vote_ranges(ranges, vote_thr: int) -> np.ndarray:

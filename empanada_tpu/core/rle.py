@@ -123,11 +123,20 @@ def numpy_fill_instances(volume: np.ndarray, instances: dict) -> np.ndarray:
     """
     shape = volume.shape
     flat = volume.reshape(-1)
+    try:
+        from empanada_tpu.core import native
+
+        fast = native.available() and flat.dtype in (np.int32, np.uint32, np.int64)
+    except ImportError:
+        fast = False
     for instance_id, attrs in instances.items():
         starts = np.asarray(attrs["starts"], dtype=np.int64)
         runs = np.asarray(attrs["runs"], dtype=np.int64)
         if len(starts) == 0:
             continue
-        idx = rle_decode(starts, runs)
-        flat[idx] = instance_id
+        if fast:
+            native.fill_ranges(flat, np.stack([starts, starts + runs], axis=1), instance_id)
+        else:
+            idx = rle_decode(starts, runs)
+            flat[idx] = instance_id
     return flat.reshape(shape)

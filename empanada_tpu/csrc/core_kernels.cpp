@@ -101,6 +101,25 @@ int64_t range_intersection(const int64_t* a, int64_t na, const int64_t* b, int64
 }
 
 // ---------------------------------------------------------------------------
+// Batched pairwise intersection: all instances' ranges live in one flat
+// buffer with per-instance [row_offsets[i], row_offsets[i+1]) extents;
+// for each (a, b) pair, two-pointer intersection.  Replaces a per-pair
+// Python loop in the Hungarian matcher.
+// ---------------------------------------------------------------------------
+
+void batch_pair_intersection(const int64_t* ranges, const int64_t* row_offsets,
+                             const int64_t* pairs, int64_t n_pairs,
+                             int64_t* out) {
+    for (int64_t k = 0; k < n_pairs; ++k) {
+        int64_t a = pairs[2 * k], b = pairs[2 * k + 1];
+        const int64_t* ra = ranges + 2 * row_offsets[a];
+        const int64_t* rb = ranges + 2 * row_offsets[b];
+        out[k] = range_intersection(ra, row_offsets[a + 1] - row_offsets[a],
+                                    rb, row_offsets[b + 1] - row_offsets[b]);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // k-of-n coverage voting over sorted (by start) ranges.
 // Writes at most `n` output ranges; returns the count.
 // ---------------------------------------------------------------------------

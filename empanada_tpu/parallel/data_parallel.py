@@ -160,8 +160,14 @@ class MultiChipEngine3d:
             return pan[0]
 
         @partial(jax.jit, static_argnames=("upsampling",))
-        def postprocess_batch(sem_windows, ctr, off, use_median, upsampling=1):
-            """sem_windows (B, ks, H, W, C); use_median (B,) bool."""
+        def postprocess_batch(sem_stack, ctr_stack, off_stack, win_idx, idxs,
+                              use_median, upsampling=1):
+            """Gather sliding windows and merge — all inside one jit so the
+            host issues a single dispatch per batch (window gathers done
+            eagerly cost one RPC each over remote-device links)."""
+            sem_windows = sem_stack[win_idx]            # (B, ks, H, W, C)
+            ctr = ctr_stack[idxs]
+            off = off_stack[idxs]
             med = jnp.median(sem_windows, axis=1)
             raw = sem_windows[:, self.mid]
             sem = jnp.where(use_median[:, None, None, None], med, raw)
@@ -245,12 +251,13 @@ class MultiChipEngine3d:
                 pad = self.batch_size - (stop - start)
                 win_idx = np.concatenate([win_idx, np.repeat(win_idx[-1:], pad, 0)])
                 use_median = np.concatenate([use_median, np.zeros(pad, bool)])
+            idxs_pad = np.clip(
+                np.pad(idxs, (0, self.batch_size - len(idxs)), mode="edge"), 0, n_slices - 1
+            )
 
-            sem_windows = sem_stack[jnp.asarray(win_idx)]
-            ctr = ctr_stack[jnp.asarray(np.clip(np.pad(idxs, (0, self.batch_size - len(idxs)), mode="edge"), 0, n_slices - 1))]
-            off = off_stack[jnp.asarray(np.clip(np.pad(idxs, (0, self.batch_size - len(idxs)), mode="edge"), 0, n_slices - 1))]
             pans = self._post_batch(
-                sem_windows, ctr, off, jnp.asarray(use_median),
+                sem_stack, ctr_stack, off_stack,
+                jnp.asarray(win_idx), jnp.asarray(idxs_pad), jnp.asarray(use_median),
                 upsampling=self.inference_scale,
             )
             pans = np.asarray(pans)[: stop - start, :h, :w]

@@ -115,17 +115,60 @@ def rle_matcher(
     ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
 
     box_matches = np.array(box_iou(target_boxes, match_boxes).nonzero()).T
-    for r1, r2 in box_matches:
-        iou_matrix[r1, r2] = rle_iou(
-            target_starts[r1], target_runs[r1], match_starts[r2], match_runs[r2]
+    if len(box_matches):
+        inters = _batch_intersections(
+            target_starts, target_runs, match_starts, match_runs, box_matches
         )
+        areas1 = np.array([int(r.sum()) for r in target_runs], dtype=np.int64)
+        areas2 = np.array([int(r.sum()) for r in match_runs], dtype=np.int64)
+        r1 = box_matches[:, 0]
+        r2 = box_matches[:, 1]
+        union = areas1[r1] + areas2[r2] - inters
+        iou_matrix[r1, r2] = np.where(union > 0, inters / np.maximum(union, 1), 0.0)
         if return_ioa:
-            ioa_matrix[r1, r2] = rle_ioa(
-                target_starts[r1], target_runs[r1], match_starts[r2], match_runs[r2]
+            ioa_matrix[r1, r2] = np.where(
+                areas2[r2] > 0, inters / np.maximum(areas2[r2], 1), 0.0
             )
 
     return _assign(
         iou_matrix, ioa_matrix, target_labels, match_labels, iou_thr, return_iou, return_ioa
+    )
+
+
+def _batch_intersections(target_starts, target_runs, match_starts, match_runs, box_matches):
+    """Pairwise RLE intersections for all box-screened pairs, in one native
+    call (a per-pair Python loop costs seconds at thousands of instances)."""
+    try:
+        from empanada_tpu.core import native
+
+        fast = native.available()
+    except ImportError:
+        fast = False
+
+    if fast:
+        all_ranges = []
+        offsets = [0]
+        for s, r in list(zip(target_starts, target_runs)) + list(zip(match_starts, match_runs)):
+            s = np.asarray(s, dtype=np.int64)
+            r = np.asarray(r, dtype=np.int64)
+            all_ranges.append(np.stack([s, s + r], axis=1))
+            offsets.append(offsets[-1] + len(s))
+        flat = (
+            np.concatenate(all_ranges, axis=0) if all_ranges else np.empty((0, 2), np.int64)
+        )
+        pairs = box_matches.copy()
+        pairs[:, 1] += len(target_starts)
+        return native.batch_pair_intersection(flat, np.asarray(offsets), pairs)
+
+    return np.array(
+        [
+            rle_iou(
+                target_starts[r1], target_runs[r1], match_starts[r2], match_runs[r2],
+                return_intersection=True,
+            )[1]
+            for r1, r2 in box_matches
+        ],
+        dtype=np.int64,
     )
 
 
