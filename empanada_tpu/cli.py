@@ -194,6 +194,11 @@ def cmd_tiles(args):
         print(json.dumps(merge_tiles(args.dir, args.out)))
 
 
+def cmd_docs(args):
+    readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    print(open(readme).read() if os.path.exists(readme) else "see PARITY.md / README.md in the repo")
+
+
 def cmd_bench(args):
     import bench
 
@@ -266,6 +271,9 @@ def build_parser():
     sp.add_argument("--out", default="merged")
     sp.add_argument("--patch-size", type=int, default=2048, dest="patch_size")
     sp.set_defaults(func=cmd_tiles)
+
+    sp = sub.add_parser("docs", help="print the framework documentation")
+    sp.set_defaults(func=cmd_docs)
 
     sp = sub.add_parser("bench", help="run the throughput benchmark")
     sp.set_defaults(func=cmd_bench)
