@@ -194,6 +194,22 @@ def cmd_tiles(args):
         print(json.dumps(merge_tiles(args.dir, args.out)))
 
 
+def cmd_port(args):
+    """Convert a reference torch checkpoint to a flax model bundle."""
+    from empanada_tpu.api import save_model_bundle
+    from empanada_tpu.port import load_torch_checkpoint, port_state_dict
+
+    config = _model_config(args.model) if args.model else None
+    arch = args.arch or (config and config.get("arch"))
+    kwargs = (config or {}).get("model_kwargs", {})
+    if arch is None:
+        raise SystemExit("provide --arch or --model with an arch field")
+    state_dict, ckpt_arch = load_torch_checkpoint(args.checkpoint)
+    variables = port_state_dict(state_dict, arch, kwargs)
+    out = save_model_bundle(args.output, arch, kwargs, variables)
+    print(f"ported {args.checkpoint} ({ckpt_arch or arch}) -> {out}")
+
+
 def cmd_docs(args):
     readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
     print(open(readme).read() if os.path.exists(readme) else "see PARITY.md / README.md in the repo")
@@ -271,6 +287,13 @@ def build_parser():
     sp.add_argument("--out", default="merged")
     sp.add_argument("--patch-size", type=int, default=2048, dest="patch_size")
     sp.set_defaults(func=cmd_tiles)
+
+    sp = sub.add_parser("port", help="convert a torch checkpoint to a flax bundle")
+    sp.add_argument("checkpoint")
+    sp.add_argument("-o", "--output", default="ported")
+    sp.add_argument("--model", default=None, help="registry config supplying arch/kwargs")
+    sp.add_argument("--arch", default=None)
+    sp.set_defaults(func=cmd_port)
 
     sp = sub.add_parser("docs", help="print the framework documentation")
     sp.set_defaults(func=cmd_docs)
