@@ -172,8 +172,49 @@ def _batch_intersections(target_starts, target_runs, match_starts, match_runs, b
     )
 
 
+def _sparse_assignment(iou_matrix):
+    """Maximize total IoU, exploiting near-block-diagonal structure.
+
+    Box screening leaves each instance overlapping only a handful of
+    candidates, so the bipartite graph of nonzero entries splits into many
+    tiny connected components.  Solving the assignment per component is
+    exactly equivalent to the dense solve (cross-component entries are all
+    zero, so they never contribute to the maximum) but costs O(sum k_i^3)
+    instead of O(n^3) — milliseconds instead of seconds at thousands of
+    instances per slice.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    n1, n2 = iou_matrix.shape
+    rows, cols = np.nonzero(iou_matrix)
+    adj = csr_matrix(
+        (np.ones(2 * len(rows), dtype=np.int8),
+         (np.concatenate([rows, cols + n1]), np.concatenate([cols + n1, rows]))),
+        shape=(n1 + n2, n1 + n2),
+    )
+    n_comp, comp = connected_components(adj, directed=False)
+
+    out_rows, out_cols = [], []
+    for c in range(n_comp):
+        members = np.flatnonzero(comp == c)
+        r = members[members < n1]
+        k = members[members >= n1] - n1
+        if len(r) == 0 or len(k) == 0:
+            continue
+        sub_r, sub_c = linear_sum_assignment(iou_matrix[np.ix_(r, k)], maximize=True)
+        out_rows.append(r[sub_r])
+        out_cols.append(k[sub_c])
+    if not out_rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_rows), np.concatenate(out_cols)
+
+
 def _assign(iou_matrix, ioa_matrix, labels1, labels2, iou_thr, return_iou, return_ioa):
-    match_rows, match_cols = linear_sum_assignment(iou_matrix, maximize=True)
+    if min(iou_matrix.shape) > 256 and iou_thr:
+        match_rows, match_cols = _sparse_assignment(iou_matrix)
+    else:
+        match_rows, match_cols = linear_sum_assignment(iou_matrix, maximize=True)
     if iou_thr is not None:
         keep = iou_matrix[match_rows, match_cols] >= iou_thr
         match_rows = match_rows[keep]

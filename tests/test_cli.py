@@ -1,0 +1,141 @@
+"""CLI smoke tests: drive ``empanada_tpu.cli.main`` the way a terminal user
+would (the CLI replaces the reference's napari GUI commands,
+empanada_napari/napari.yaml)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from conftest import make_blob_image
+from empanada_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle(tmp_path_factory):
+    import empanada_tpu.api as api
+    from empanada_tpu.models import create_model
+
+    kwargs = dict(
+        encoder="resnet18", num_classes=1, decoder_channels=32,
+        low_level_channels_project=(16, 8, 4), subdivision_num_points=256,
+    )
+    model = create_model("PanopticDeepLabPR", **kwargs)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    d = tmp_path_factory.mktemp("bundle")
+    return api.save_model_bundle(str(d / "tiny"), "PanopticDeepLabPR", kwargs, variables)
+
+
+@pytest.fixture
+def tiny_config_yaml(tmp_path, tiny_bundle):
+    cfg = {
+        "class_names": {1: "mito"},
+        "labels": [1],
+        "thing_list": [1],
+        "model": tiny_bundle,
+        "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.2},
+    }
+    path = tmp_path / "tiny_model.yaml"
+    path.write_text(yaml.dump(cfg))
+    return str(path)
+
+
+def test_models_list(capsys):
+    main(["models", "list"])
+    out = capsys.readouterr().out
+    assert "MitoNet_v1" in out
+
+
+def test_infer2d(tmp_path, tiny_config_yaml):
+    image = make_blob_image((96, 96), n_blobs=4)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, image)
+    out_path = tmp_path / "pan.npy"
+
+    main(["infer2d", str(img_path), "-o", str(out_path),
+          "--model", tiny_config_yaml])
+    pan = np.load(out_path)
+    assert pan.shape == image.shape
+    assert pan.dtype == np.int64
+
+
+def test_infer2d_tiled(tmp_path, tiny_config_yaml):
+    image = make_blob_image((96, 96), n_blobs=4)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, image)
+    out_path = tmp_path / "pan_tiled.npy"
+
+    main(["infer2d", str(img_path), "-o", str(out_path),
+          "--model", tiny_config_yaml, "--tile-size", "64"])
+    pan = np.load(out_path)
+    assert pan.shape == image.shape
+
+
+def test_infer3d_stack(tmp_path, tiny_config_yaml):
+    vol = np.stack([make_blob_image((64, 64), n_blobs=3)] * 4)
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    out_tpl = str(tmp_path / "seg_{class}.npy")
+
+    main(["infer3d", str(vol_path), "-o", out_tpl,
+          "--model", tiny_config_yaml, "--median-slices", "1",
+          "--min-size", "0", "--min-extent", "0"])
+    seg = np.load(tmp_path / "seg_mito.npy")
+    assert seg.shape == vol.shape
+
+
+def test_tiles_roundtrip(tmp_path):
+    from PIL import Image
+
+    image = make_blob_image((80, 80), n_blobs=4)
+    img_path = tmp_path / "big.tiff"
+    Image.fromarray(image).save(img_path)
+    tile_dir = tmp_path / "tiles"
+    out_dir = tmp_path / "merged"
+
+    main(["tiles", "chop", "--image", str(img_path), "--dir", str(tile_dir),
+          "--patch-size", "48"])
+    assert os.path.exists(tile_dir / "metadata.json")
+    main(["tiles", "merge", "--dir", str(tile_dir), "--out", str(out_dir)])
+    merged = np.asarray(Image.open(out_dir / "merged_image.tiff"))
+    np.testing.assert_array_equal(merged, image)
+
+
+def test_evaluate_identical(tmp_path, capsys):
+    dump = {
+        "class_id": 1, "label_divisor": 1000, "shape3d": [4, 8, 8],
+        "axis": "xy", "finished": True,
+        "instances": {
+            "1001": {"box": [0, 0, 0, 2, 4, 4], "rle": "0 16 64 16"},
+            "1002": {"box": [2, 4, 4, 4, 8, 8], "rle": "164 4 172 4"},
+        },
+    }
+    gt = tmp_path / "gt.json"
+    pred = tmp_path / "pred.json"
+    gt.write_text(json.dumps(dump))
+    pred.write_text(json.dumps(dump))
+
+    main(["evaluate", str(gt), str(pred)])
+    results = json.loads(capsys.readouterr().out)
+    assert results["iou"] == pytest.approx(1.0)
+    assert results["f1_50"] == pytest.approx(1.0)
+
+
+def test_port_requires_arch(tmp_path):
+    ckpt = tmp_path / "x.pth"
+    ckpt.write_bytes(b"not a checkpoint")
+    with pytest.raises(SystemExit, match="--arch"):
+        main(["port", str(ckpt), "-o", str(tmp_path / "out")])
+
+
+def test_unknown_model_listed(tmp_path):
+    np.save(tmp_path / "img.npy", np.zeros((32, 32), np.uint8))
+    with pytest.raises(SystemExit, match="unknown model"):
+        main(["infer2d", str(tmp_path / "img.npy"), "--model", "NoSuchNet"])

@@ -259,3 +259,28 @@ class TestFilters:
 
         apply_filters(tracker, [{"name": "remove_small_objects", "min_size": 10**6}])
         assert len(tracker.instances) == 0
+
+
+def test_sparse_assignment_matches_dense():
+    """Component-decomposed Hungarian must reproduce the dense solve exactly
+    (cross-component entries are zero, so per-component optima are global)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from empanada_tpu.stitch.matcher import _sparse_assignment
+
+    rng = np.random.default_rng(3)
+    m = np.zeros((400, 390), dtype=np.float32)
+    for i in range(400):
+        lo, hi = max(0, i - 2), min(390, i + 3)
+        if lo >= hi:
+            continue
+        for j in rng.integers(lo, hi, size=2):
+            m[i, j] = rng.uniform(0.05, 1.0)
+
+    dr, dc = linear_sum_assignment(m, maximize=True)
+    sr, sc = _sparse_assignment(m)
+    assert m[sr, sc].sum() == pytest.approx(m[dr, dc].sum())
+    thr = 0.25
+    dense_pairs = {(r, c) for r, c in zip(dr, dc) if m[r, c] >= thr}
+    sparse_pairs = {(r, c) for r, c in zip(sr, sc) if m[r, c] >= thr}
+    assert dense_pairs == sparse_pairs
