@@ -171,6 +171,7 @@ class Engine2d:
         fine_boundaries: bool = False,
         tile_size: int = 0,
         max_centers: int = 256,
+        shape_buckets: bool = False,
         model_and_variables=None,
         **kwargs,
     ):
@@ -202,6 +203,7 @@ class Engine2d:
             padding_factor=self.padding_factor,
             coarse_boundaries=not fine_boundaries,
             max_centers=max_centers,
+            shape_buckets=shape_buckets,
         )
         self.preprocessor = Preprocessor(**model_config["norms"])
 
@@ -311,6 +313,7 @@ class Engine3d:
         label_dilation: int = 0,
         fill_holes_in_segmentation: bool = False,
         max_centers: int = 256,
+        shape_buckets: bool = False,
         model_and_variables=None,
         **kwargs,
     ):
@@ -345,6 +348,7 @@ class Engine3d:
             padding_factor=self.padding_factor,
             coarse_boundaries=not fine_boundaries,
             max_centers=max_centers,
+            shape_buckets=shape_buckets,
         )
         self.preprocessor = Preprocessor(**model_config["norms"])
 

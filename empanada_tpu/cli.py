@@ -84,6 +84,7 @@ def cmd_infer2d(args):
         semantic_only=args.semantic_only,
         fine_boundaries=args.fine_boundaries,
         tile_size=args.tile_size,
+        shape_buckets=args.shape_buckets,
     )
     image = np.asarray(_load_array(args.image))
     pan = engine.infer(image)
@@ -106,6 +107,7 @@ def cmd_infer3d(args):
         confidence_thr=args.segment_confidence,
         semantic_only=args.semantic_only,
         fine_boundaries=args.fine_boundaries,
+        shape_buckets=args.shape_buckets,
         min_size=args.min_size,
         min_extent=args.min_extent,
         store_url=args.store,
@@ -234,6 +236,8 @@ def build_parser():
         sp.add_argument("--segment-confidence", type=float, default=0.3, dest="segment_confidence")
         sp.add_argument("--semantic-only", action="store_true", dest="semantic_only")
         sp.add_argument("--fine-boundaries", action="store_true", dest="fine_boundaries")
+        sp.add_argument("--shape-buckets", action="store_true", dest="shape_buckets",
+                        help="pad to ~25%%-growth size buckets to bound jit recompiles")
 
     sp = sub.add_parser("infer2d", help="2D panoptic inference (tiled for big images)")
     sp.add_argument("image")

@@ -196,6 +196,7 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         padding_factor: int = 16,
         coarse_boundaries: bool = True,
         max_centers: int = 256,
+        shape_buckets: bool = False,
         input_dtype=jnp.float32,
         **kwargs,
     ):
@@ -210,6 +211,7 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         self.padding_factor = int(padding_factor)
         self.coarse_boundaries = bool(coarse_boundaries)
         self.max_centers = int(max_centers)
+        self.shape_buckets = bool(shape_buckets)
         self.num_classes = int(model.num_classes) + 1
 
         self._build_jits()
@@ -259,7 +261,7 @@ class PanopticDeepLabRenderEngine(_EngineBase):
 
     def _prepare(self, image: np.ndarray):
         x = self._to_device_image(image)
-        return pp.factor_pad(x, self.padding_factor)
+        return pp.factor_pad(x, self.padding_factor, buckets=self.shape_buckets)
 
     def __call__(self, image: np.ndarray, size, upsampling: int = 1) -> np.ndarray:
         assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
@@ -308,9 +310,11 @@ class BCEngine(_EngineBase):
     """Boundary-contour engine: returns stacked sigmoid (sem, cnt) maps
     (engines.py:396-434); consumed offline by bc_watershed."""
 
-    def __init__(self, model, variables, padding_factor: int = 16, **kwargs):
+    def __init__(self, model, variables, padding_factor: int = 16,
+                 shape_buckets: bool = False, **kwargs):
         super().__init__(model, variables)
         self.padding_factor = padding_factor
+        self.shape_buckets = bool(shape_buckets)
 
     def infer(self, image, render_steps: int = 2):
         out = self._forward(self.variables, image, render_steps=render_steps)
@@ -331,7 +335,8 @@ class BCEngine3d(BCEngine):
     def __call__(self, image, size, upsampling: int = 1):
         assert math.log2(upsampling).is_integer()
         h, w = size
-        x = pp.factor_pad(self._to_device_image(image), self.padding_factor)
+        x = pp.factor_pad(self._to_device_image(image), self.padding_factor,
+                          buckets=self.shape_buckets)
         out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
         out["size"] = (h, w)
         self.median.enqueue(out)

@@ -33,6 +33,7 @@ from empanada_tpu.ops.interpolate import nearest_resize
 
 __all__ = [
     "factor_pad",
+    "bucket_dim",
     "logits_to_prob",
     "harden_seg",
     "find_instance_center",
@@ -43,11 +44,32 @@ __all__ = [
 ]
 
 
-def factor_pad(x: jnp.ndarray, factor: int = 16) -> jnp.ndarray:
-    """Zero-pad H and W (axes 1, 2 of NHWC) up to multiples of ``factor``."""
+# ~25%-growth bucket ladder (in units of padding_factor).  Bucketing bounds
+# the number of distinct jit shapes for ragged workloads at the cost of up to
+# ~25% extra padded area per dim; exact factor padding stays the default.
+_BUCKET_MULTIPLES = (1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+                     40, 48, 56, 64, 80, 96, 112, 128)
+
+
+def bucket_dim(n: int, factor: int) -> int:
+    """Smallest bucket size >= n: ``factor`` times a ladder multiple."""
+    m = -(-int(n) // factor)
+    for b in _BUCKET_MULTIPLES:
+        if b >= m:
+            return b * factor
+    return (-(-m // 16) * 16) * factor
+
+
+def factor_pad(x: jnp.ndarray, factor: int = 16, buckets: bool = False) -> jnp.ndarray:
+    """Zero-pad H and W (axes 1, 2 of NHWC) up to multiples of ``factor``
+    (or, with ``buckets``, up to the next ladder size — see bucket_dim)."""
     h, w = x.shape[1], x.shape[2]
-    pad_b = (-h) % factor
-    pad_r = (-w) % factor
+    if buckets:
+        pad_b = bucket_dim(h, factor) - h
+        pad_r = bucket_dim(w, factor) - w
+    else:
+        pad_b = (-h) % factor
+        pad_r = (-w) % factor
     if pad_b == 0 and pad_r == 0:
         return x
     cfg = [(0, 0)] * x.ndim

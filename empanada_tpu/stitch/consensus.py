@@ -159,7 +159,13 @@ def bounding_box_screening(boxes: np.ndarray, source_indices: np.ndarray):
 
 
 def object_iou_graph(source_indices, object_labels, object_boxes, object_starts, object_runs):
-    """Nodes = objects; edges weighted by RLE IoU/overlap."""
+    """Nodes = objects; edges weighted by RLE IoU/overlap.
+
+    All box-screened pair intersections go through one native batch call
+    (stitch/matcher.py:_batch_intersections) — a per-pair Python loop costs
+    seconds at ortho-plane scale (3 trackers x thousands of instances)."""
+    from empanada_tpu.stitch.matcher import _batch_intersections
+
     box_matches = bounding_box_screening(object_boxes, source_indices)
 
     graph = nx.Graph()
@@ -170,14 +176,17 @@ def object_iou_graph(source_indices, object_labels, object_boxes, object_starts,
             starts=object_starts[node_id],
             runs=object_runs[node_id],
         )
-    for r1, r2 in box_matches:
-        pair_iou, inter = rle_iou(
-            graph.nodes[r1]["starts"], graph.nodes[r1]["runs"],
-            graph.nodes[r2]["starts"], graph.nodes[r2]["runs"],
-            return_intersection=True,
+    if len(box_matches):
+        inters = _batch_intersections(
+            object_starts, object_runs, object_starts, object_runs, box_matches
         )
-        if pair_iou > 0:
-            graph.add_edge(r1, r2, iou=pair_iou, overlap=inter)
+        areas = np.array([int(np.asarray(r).sum()) for r in object_runs], dtype=np.int64)
+        r1 = box_matches[:, 0]
+        r2 = box_matches[:, 1]
+        unions = areas[r1] + areas[r2] - inters
+        for a, b, inter, union in zip(r1, r2, inters, unions):
+            if union > 0 and inter > 0:
+                graph.add_edge(int(a), int(b), iou=inter / union, overlap=int(inter))
     return graph
 
 

@@ -224,3 +224,28 @@ class TestPallasKernels:
         want = base.at[jnp.arange(2)[:, None], idx].set(vals)
         got = scatter_rows_vmem(base, idx, vals)
         assert float(jnp.abs(got - want).max()) == 0.0
+
+
+def test_bucket_dim_ladder():
+    from empanada_tpu.ops.postprocess import bucket_dim
+
+    assert bucket_dim(1, 128) == 128
+    assert bucket_dim(128, 128) == 128
+    assert bucket_dim(129, 128) == 256
+    assert bucket_dim(520, 128) == 640    # 5 * 128
+    assert bucket_dim(130, 16) == 160     # 10 * 16 (m=9 -> 10)
+    assert bucket_dim(16 * 200, 16) == 16 * 208  # beyond ladder: ceil to 16s
+    # monotone, and never more than ~34% overhead within the ladder
+    prev = 0
+    for n in range(1, 4000, 37):
+        b = bucket_dim(n, 16)
+        assert b >= n and b >= prev and b <= int(n * 1.34) + 16
+        prev = b
+
+
+def test_factor_pad_buckets():
+    from empanada_tpu.ops.postprocess import factor_pad
+
+    x = jnp.ones((1, 130, 150, 1))
+    assert factor_pad(x, 16).shape == (1, 144, 160, 1)
+    assert factor_pad(x, 16, buckets=True).shape == (1, 160, 160, 1)
