@@ -5,7 +5,8 @@ Replaces the reference's numpy+numba ``empanada/array_utils.py`` /
 C++ kernel library (``empanada_tpu/csrc``).
 """
 
-from empanada_tpu.core.boxes import box_area, box_intersection, box_iou, merge_boxes
+from empanada_tpu.core.boxes import (
+    box_area, box_intersection, box_iou, merge_boxes, overlapping_box_pairs)
 from empanada_tpu.core.labeling import (
     connected_components_runs,
     extract_runs,
@@ -39,6 +40,7 @@ from empanada_tpu.core.rle import (
 
 __all__ = [
     "box_area", "box_intersection", "box_iou", "merge_boxes",
+    "overlapping_box_pairs",
     "connected_components_runs", "extract_runs", "label_2d", "runs_to_regions",
     "crop_and_binarize", "mask_ioa", "mask_iou", "put", "take",
     "concat_sort_ranges", "coverage_ranges", "intersection_from_ranges",

@@ -16,6 +16,7 @@ __all__ = [
     "box_intersection",
     "merge_boxes",
     "box_iou",
+    "overlapping_box_pairs",
 ]
 
 
@@ -48,6 +49,39 @@ def merge_boxes(box1, box2):
     return tuple(
         min(box1[i], box2[i]) if i < ndim else max(box1[i], box2[i]) for i in range(n)
     )
+
+
+def overlapping_box_pairs(boxes1, boxes2=None, chunk: int = 1024) -> np.ndarray:
+    """(k, 2) index pairs of boxes with positive intersection.
+
+    Equivalent to ``box_iou(boxes1, boxes2).nonzero()`` but never
+    materializes an (n, m) float64 matrix: rows are processed in chunks with
+    a bool overlap test per dimension, so memory stays O(chunk * m) and the
+    quadratic pass is allocation-light (the reference's numba double loop,
+    array_utils.py:178, had the same screening role).
+    """
+    boxes1 = np.asarray(boxes1)
+    boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
+    if len(boxes1) == 0 or len(boxes2) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    ndim = boxes1.shape[1] // 2
+
+    lo2 = boxes2[:, :ndim]           # (m, ndim)
+    hi2 = boxes2[:, ndim:]
+    out_r, out_c = [], []
+    for r0 in range(0, len(boxes1), chunk):
+        b1 = boxes1[r0 : r0 + chunk]
+        overlap = np.ones((len(b1), len(boxes2)), dtype=bool)
+        for i in range(ndim):
+            # positive intersection extent: min(hi) > max(lo) — also rejects
+            # degenerate zero-extent boxes, matching box_intersection > 0
+            hi = np.minimum(b1[:, i + ndim, None], hi2[None, :, i])
+            lo = np.maximum(b1[:, i, None], lo2[None, :, i])
+            overlap &= hi > lo
+        r, c = np.nonzero(overlap)
+        out_r.append(r + r0)
+        out_c.append(c)
+    return np.stack([np.concatenate(out_r), np.concatenate(out_c)], axis=1)
 
 
 def box_iou(boxes1, boxes2=None, return_intersection: bool = False):

@@ -16,7 +16,7 @@ import networkx as nx
 import numpy as np
 
 from empanada_tpu.core import (
-    box_iou,
+    overlapping_box_pairs,
     join_ranges,
     merge_boxes,
     merge_rles,
@@ -149,8 +149,7 @@ def merge_overlapping(cluster_instances):
 
 def bounding_box_screening(boxes: np.ndarray, source_indices: np.ndarray):
     """Unique cross-source box pairs with non-trivial overlap."""
-    box_ious = box_iou(boxes)
-    box_matches = np.array(box_ious.nonzero()).T
+    box_matches = overlapping_box_pairs(boxes)
     r1 = source_indices[box_matches[:, 0]]
     r2 = source_indices[box_matches[:, 1]]
     box_matches = box_matches[r1 != r2]

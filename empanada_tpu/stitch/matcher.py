@@ -15,7 +15,7 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from empanada_tpu.core import (
-    box_iou,
+    overlapping_box_pairs,
     crop_and_binarize,
     mask_ioa,
     mask_iou,
@@ -78,7 +78,7 @@ def fast_matcher(
     iou_matrix = np.zeros((len(labels1), len(labels2)), dtype=np.float32)
     ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
 
-    box_matches = np.array(box_iou(boxes1, boxes2).nonzero()).T
+    box_matches = overlapping_box_pairs(boxes1, boxes2)
     for r1, r2 in box_matches:
         l1, l2 = labels1[r1], labels2[r2]
         box = merge_boxes(boxes1[r1], boxes2[r2])
@@ -114,7 +114,7 @@ def rle_matcher(
     iou_matrix = np.zeros((len(target_boxes), len(match_boxes)), dtype=float)
     ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
 
-    box_matches = np.array(box_iou(target_boxes, match_boxes).nonzero()).T
+    box_matches = overlapping_box_pairs(target_boxes, match_boxes)
     if len(box_matches):
         inters = _batch_intersections(
             target_starts, target_runs, match_starts, match_runs, box_matches

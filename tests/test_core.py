@@ -222,3 +222,20 @@ class TestNativeParity:
             [0, 6], [6, 7], [7, 13], [13, 14], [14, 20],
             [15, 20], [20, 21], [21, 27], [27, 28], [28, 34], [34, 35],
         ]
+
+
+def test_overlapping_box_pairs_matches_box_iou_nonzero():
+    from empanada_tpu.core import box_iou, overlapping_box_pairs
+
+    rng = np.random.default_rng(11)
+    for ndim in (2, 3):
+        lo = rng.integers(0, 100, size=(73, ndim))
+        ext = rng.integers(0, 12, size=(73, ndim))  # includes degenerate boxes
+        boxes1 = np.concatenate([lo, lo + ext], axis=1)
+        lo2 = rng.integers(0, 100, size=(61, ndim))
+        ext2 = rng.integers(0, 12, size=(61, ndim))
+        boxes2 = np.concatenate([lo2, lo2 + ext2], axis=1)
+
+        ref = set(map(tuple, np.array(box_iou(boxes1, boxes2).nonzero()).T))
+        got = set(map(tuple, overlapping_box_pairs(boxes1, boxes2, chunk=16)))
+        assert got == ref
