@@ -70,7 +70,24 @@ def _model_config(name_or_path: str) -> dict:
     return read_yaml(configs[name_or_path])
 
 
+def _parse_roi(spec: str):
+    """'y1:y2,x1:x2' -> ((y1, y2), (x1, x2))."""
+    try:
+        ys, xs = spec.split(",")
+        y1, y2 = (int(v) for v in ys.split(":"))
+        x1, x2 = (int(v) for v in xs.split(":"))
+    except ValueError:
+        raise SystemExit(f"bad --roi '{spec}'; expected y1:y2,x1:x2")
+    if y2 <= y1 or x2 <= x1:
+        raise SystemExit(f"bad --roi '{spec}'; empty extent")
+    return (y1, y2), (x1, x2)
+
+
 def cmd_infer2d(args):
+    """2D inference; --roi / --roi-mask confine it to a window or polygon
+    mask, the terminal analog of the reference widget's viewport- and
+    ROI-confined modes (_slice_inference.py:187,278: crop to the region,
+    zero pixels outside the mask, write the result back at the offset)."""
     from empanada_tpu.api import Engine2d
 
     config = _model_config(args.model)
@@ -87,7 +104,37 @@ def cmd_infer2d(args):
         shape_buckets=args.shape_buckets,
     )
     image = np.asarray(_load_array(args.image))
-    pan = engine.infer(image)
+
+    roi_mask = None
+    if args.roi_mask is not None:
+        roi_mask = np.asarray(_load_array(args.roi_mask)) > 0
+        if roi_mask.shape != image.shape:
+            raise SystemExit(
+                f"--roi-mask shape {roi_mask.shape} != image shape {image.shape}"
+            )
+    if args.roi is not None:
+        (y1, y2), (x1, x2) = _parse_roi(args.roi)
+    elif roi_mask is not None:
+        ys, xs = np.nonzero(roi_mask)
+        if len(ys) == 0:
+            raise SystemExit("--roi-mask has no foreground pixels")
+        y1, y2, x1, x2 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+    else:
+        y1, y2, x1, x2 = 0, image.shape[0], 0, image.shape[1]
+
+    window = image[y1:y2, x1:x2]
+    if roi_mask is not None:
+        window = np.where(roi_mask[y1:y2, x1:x2], window, 0).astype(image.dtype)
+
+    pan_window = engine.infer(window)
+    if roi_mask is not None:
+        pan_window = np.where(roi_mask[y1:y2, x1:x2], pan_window, 0)
+    if (y2 - y1, x2 - x1) != image.shape:
+        pan = np.zeros(image.shape, dtype=pan_window.dtype)
+        pan[y1:y2, x1:x2] = pan_window
+    else:
+        pan = pan_window
+
     _save_labels(args.output, pan)
     n = (np.unique(pan) > args.label_divisor).sum()
     print(f"wrote {args.output}: {pan.shape}, {n} instances")
@@ -243,6 +290,10 @@ def build_parser():
     sp.add_argument("image")
     sp.add_argument("-o", "--output", default="pan_seg.npy")
     sp.add_argument("--tile-size", type=int, default=0, dest="tile_size")
+    sp.add_argument("--roi", default=None,
+                    help="confine inference to a window: y1:y2,x1:x2")
+    sp.add_argument("--roi-mask", default=None, dest="roi_mask",
+                    help="mask file (.npy/image); infer inside its bbox, zero outside")
     common_infer(sp)
     sp.set_defaults(func=cmd_infer2d)
 

@@ -139,3 +139,42 @@ def test_unknown_model_listed(tmp_path):
     np.save(tmp_path / "img.npy", np.zeros((32, 32), np.uint8))
     with pytest.raises(SystemExit, match="unknown model"):
         main(["infer2d", str(tmp_path / "img.npy"), "--model", "NoSuchNet"])
+
+
+def test_infer2d_roi_window(tmp_path, tiny_config_yaml):
+    image = make_blob_image((128, 128), n_blobs=5)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, image)
+    out_path = tmp_path / "pan_roi.npy"
+
+    main(["infer2d", str(img_path), "-o", str(out_path),
+          "--model", tiny_config_yaml, "--roi", "16:80,32:96"])
+    pan = np.load(out_path)
+    assert pan.shape == image.shape
+    outside = pan.copy()
+    outside[16:80, 32:96] = 0
+    assert (outside == 0).all()            # nothing outside the window
+    assert (pan[16:80, 32:96] != 0).any()  # something inside it
+
+
+def test_infer2d_roi_mask(tmp_path, tiny_config_yaml):
+    image = make_blob_image((96, 96), n_blobs=4)
+    mask = np.zeros((96, 96), dtype=np.uint8)
+    yy, xx = np.mgrid[0:96, 0:96]
+    mask[((yy - 48) ** 2 + (xx - 48) ** 2) < 40**2] = 1  # disk "polygon"
+    np.save(tmp_path / "img.npy", image)
+    np.save(tmp_path / "mask.npy", mask)
+    out_path = tmp_path / "pan_mask.npy"
+
+    main(["infer2d", str(tmp_path / "img.npy"), "-o", str(out_path),
+          "--model", tiny_config_yaml, "--roi-mask", str(tmp_path / "mask.npy")])
+    pan = np.load(out_path)
+    assert pan.shape == image.shape
+    assert (pan[mask == 0] == 0).all()
+
+
+def test_infer2d_bad_roi(tmp_path, tiny_config_yaml):
+    np.save(tmp_path / "img.npy", np.zeros((64, 64), np.uint8))
+    with pytest.raises(SystemExit, match="bad --roi"):
+        main(["infer2d", str(tmp_path / "img.npy"),
+              "--model", tiny_config_yaml, "--roi", "banana"])
