@@ -19,8 +19,13 @@ __all__ = ["export_model", "import_model", "archive_model"]
 ARCHIVE_EXT = ".empanada_tpu"
 
 
-def export_model(model_name: str, export_path: str) -> str:
-    """Bundle a registered model's yaml + weights into one archive."""
+def export_model(model_name: str, export_path: str, quantize: bool = False) -> str:
+    """Bundle a registered model's yaml + weights into one archive.
+
+    ``quantize=True`` re-saves the weights int8 (api/utils.py:
+    requantize_bundle) before archiving — the analog of the reference's
+    quantized-model export (_export_import_models.py).
+    """
     configs = get_configs()
     if model_name not in configs:
         raise KeyError(f"{model_name} is not a registered model")
@@ -34,6 +39,19 @@ def export_model(model_name: str, export_path: str) -> str:
     out = export_path
     if not out.endswith(ARCHIVE_EXT):
         out = out + ARCHIVE_EXT
+    if quantize:
+        import tempfile
+
+        from empanada_tpu.api.utils import requantize_bundle
+
+        with tempfile.TemporaryDirectory() as td:
+            qfile = requantize_bundle(
+                model_file, os.path.join(td, os.path.basename(model_file))
+            )
+            with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+                zf.write(config_path, arcname=f"{model_name}.yaml")
+                zf.write(qfile, arcname=os.path.basename(model_file))
+        return out
     with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.write(config_path, arcname=f"{model_name}.yaml")
         zf.write(model_file, arcname=os.path.basename(model_file))

@@ -72,16 +72,89 @@ def add_new_model(model_name: str, config: dict, model_file: str | None = None):
         yaml.dump(config, f)
 
 
-def save_model_bundle(path: str, arch: str, model_kwargs: dict, variables) -> str:
-    """Write a deployable model bundle (zip: config.json + params.msgpack)."""
+_QUANT_KEY = "__int8__"
+_QUANT_MIN_SIZE = 4096
+
+
+def _quantize_variables(variables):
+    """Per-output-channel symmetric int8 quantization of large weight tensors.
+
+    The TPU analog of the reference's exported int8 models
+    (models/quantization/*, _export_import_models.py): weights ship as int8 +
+    a float32 scale per last-axis channel (HWIO kernels -> per-output-channel)
+    and dequantize to the compute dtype at load.  Small tensors (biases, BN
+    scales/stats) stay full precision.
+    """
+
+    def q(leaf):
+        a = np.asarray(leaf)
+        if a.ndim >= 2 and a.size >= _QUANT_MIN_SIZE and np.issubdtype(
+            np.asarray(a, dtype=np.float32).dtype, np.floating
+        ):
+            a32 = np.asarray(a, dtype=np.float32)
+            axes = tuple(range(a32.ndim - 1))
+            scale = np.maximum(np.abs(a32).max(axis=axes), 1e-12) / 127.0
+            qa = np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8)
+            return {_QUANT_KEY: qa, "scale": scale.astype(np.float32)}
+        return a
+
+    return jax.tree.map(q, serialization.to_state_dict(variables))
+
+
+def _dequantize_tree(tree, dtype):
+    if isinstance(tree, dict):
+        if _QUANT_KEY in tree:
+            w = np.asarray(tree[_QUANT_KEY], np.float32) * np.asarray(tree["scale"])
+        else:
+            return {k: _dequantize_tree(v, dtype) for k, v in tree.items()}
+    else:
+        w = np.asarray(tree)
+    if np.issubdtype(np.asarray(w, dtype=np.float32).dtype, np.floating):
+        return jnp.asarray(w, dtype)
+    return jnp.asarray(w)
+
+
+def save_model_bundle(
+    path: str, arch: str, model_kwargs: dict, variables, quantize: bool = False
+) -> str:
+    """Write a deployable model bundle (zip: config.json + params.msgpack).
+
+    With ``quantize=True`` large weight tensors are stored int8 with
+    per-channel scales (~4x smaller bundle); small tensors stay float.
+    """
     if not path.endswith(BUNDLE_EXT):
         path = path + BUNDLE_EXT
-    payload = serialization.to_bytes(variables)
-    meta = {"arch": arch, "model_kwargs": model_kwargs, "format": BUNDLE_FORMAT}
+    if quantize:
+        payload = serialization.msgpack_serialize(_quantize_variables(variables))
+    else:
+        payload = serialization.to_bytes(variables)
+    meta = {
+        "arch": arch,
+        "model_kwargs": model_kwargs,
+        "format": BUNDLE_FORMAT,
+        "quantized": bool(quantize),
+    }
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("config.json", json.dumps(meta))
         zf.writestr("params.msgpack", payload)
     return path
+
+
+def requantize_bundle(src_path: str, dst_path: str) -> str:
+    """Re-save an existing bundle with int8 weight quantization."""
+    with zipfile.ZipFile(src_path, "r") as zf:
+        meta = json.loads(zf.read("config.json"))
+        payload = zf.read("params.msgpack")
+    if meta.get("quantized"):
+        if src_path != dst_path:
+            import shutil
+
+            shutil.copyfile(src_path, dst_path)
+        return dst_path
+    state = serialization.msgpack_restore(payload)
+    return save_model_bundle(
+        dst_path, meta["arch"], meta["model_kwargs"], state, quantize=True
+    )
 
 
 def load_model_bundle(path: str, dtype=jnp.float32):
@@ -97,6 +170,10 @@ def load_model_bundle(path: str, dtype=jnp.float32):
         )
 
     model = create_model(meta["arch"], dtype=dtype, **meta["model_kwargs"])
+    if meta.get("quantized"):
+        state = serialization.msgpack_restore(payload)
+        variables = _dequantize_tree(state, dtype)
+        return model, variables
     # build a template pytree to restore into
     sample = jnp.zeros((1, 64, 64, 1), dtype)
     template = jax.eval_shape(

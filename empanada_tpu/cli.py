@@ -225,7 +225,7 @@ def cmd_models(args):
         for name, path in sorted(get_configs().items()):
             print(f"{name}\t{path}")
     elif args.action == "export":
-        print(export_model(args.name, args.path))
+        print(export_model(args.name, args.path, quantize=args.quantize))
     elif args.action == "import":
         print(import_model(args.path, model_name=args.name))
     elif args.action == "archive":
@@ -255,7 +255,8 @@ def cmd_port(args):
         raise SystemExit("provide --arch or --model with an arch field")
     state_dict, ckpt_arch = load_torch_checkpoint(args.checkpoint)
     variables = port_state_dict(state_dict, arch, kwargs)
-    out = save_model_bundle(args.output, arch, kwargs, variables)
+    out = save_model_bundle(args.output, arch, kwargs, variables,
+                            quantize=args.quantize)
     print(f"ported {args.checkpoint} ({ckpt_arch or arch}) -> {out}")
 
 
@@ -332,6 +333,8 @@ def build_parser():
     sp.add_argument("action", choices=["list", "export", "import", "archive"])
     sp.add_argument("--name", default=None)
     sp.add_argument("--path", default=None)
+    sp.add_argument("--quantize", action="store_true",
+                    help="store int8 weights in the exported archive")
     sp.set_defaults(func=cmd_models)
 
     sp = sub.add_parser("tiles", help="offline big-image tiling")
@@ -348,6 +351,8 @@ def build_parser():
     sp.add_argument("-o", "--output", default="ported")
     sp.add_argument("--model", default=None, help="registry config supplying arch/kwargs")
     sp.add_argument("--arch", default=None)
+    sp.add_argument("--quantize", action="store_true",
+                    help="store int8 weights in the output bundle")
     sp.set_defaults(func=cmd_port)
 
     sp = sub.add_parser("docs", help="print the framework documentation")

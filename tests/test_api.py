@@ -168,3 +168,51 @@ class TestExportImport:
         name = api.import_model(archive, model_name="tiny_imported")
         assert name == "tiny_imported"
         assert "tiny_imported" in api.get_configs()
+
+
+class TestQuantizedBundles:
+    def test_int8_bundle_roundtrip(self, tmp_path, tiny_model_and_variables):
+        model, variables = tiny_model_and_variables
+        kwargs = dict(encoder="resnet18", num_classes=1, decoder_channels=32,
+                      low_level_channels_project=(16, 8, 4),
+                      subdivision_num_points=256)
+        full = api.save_model_bundle(
+            str(tmp_path / "full"), "PanopticDeepLabPR", kwargs, variables)
+        quant = api.save_model_bundle(
+            str(tmp_path / "quant"), "PanopticDeepLabPR", kwargs, variables,
+            quantize=True)
+        # int8 weights should shrink the bundle substantially
+        assert os.path.getsize(quant) < 0.45 * os.path.getsize(full)
+
+        qmodel, qvars = api.load_model_bundle(quant)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 1)),
+                        jnp.float32)
+        ref = jax.jit(model.apply, static_argnames=("train",))(
+            variables, x, train=False)
+        got = jax.jit(qmodel.apply, static_argnames=("train",))(
+            qvars, x, train=False)
+        # per-channel int8 keeps logits close (untrained nets have small
+        # dynamic range; assert relative error, not exactness)
+        r = np.asarray(ref["sem_logits"], np.float32)
+        g = np.asarray(got["sem_logits"], np.float32)
+        denom = max(np.abs(r).max(), 1e-6)
+        assert np.abs(r - g).max() / denom < 0.15
+        assert np.corrcoef(r.ravel(), g.ravel())[0, 1] > 0.99
+
+    def test_requantize_bundle(self, tmp_path, tiny_model_and_variables):
+        from empanada_tpu.api.utils import requantize_bundle
+
+        model, variables = tiny_model_and_variables
+        kwargs = dict(encoder="resnet18", num_classes=1, decoder_channels=32,
+                      low_level_channels_project=(16, 8, 4),
+                      subdivision_num_points=256)
+        full = api.save_model_bundle(
+            str(tmp_path / "full"), "PanopticDeepLabPR", kwargs, variables)
+        q = requantize_bundle(full, str(tmp_path / "q.eptpu"))
+        qmodel, qvars = api.load_model_bundle(q)
+        assert os.path.getsize(q) < 0.45 * os.path.getsize(full)
+        # same tree structure as a fresh init
+        flat_q = jax.tree_util.tree_leaves(qvars)
+        flat_f = jax.tree_util.tree_leaves(variables)
+        assert len(flat_q) == len(flat_f)
+        assert all(a.shape == b.shape for a, b in zip(flat_q, flat_f))
