@@ -121,7 +121,12 @@ def find_instance_center(
     # top_k over -(flat index) of kept peaks -> ascending scanline order
     neg_big = jnp.int32(-(2**31) + 1)
     scores = jnp.where(keep_flat, -idx, neg_big)
-    top = jax.lax.top_k(scores, max_centers)[0]
+    # thin maps (ortho-plane slices of short volumes) can have fewer pixels
+    # than max_centers; clamp k and pad back so output shapes stay static
+    k = min(max_centers, h * w)
+    top = jax.lax.top_k(scores, k)[0]
+    if k < max_centers:
+        top = jnp.concatenate([top, jnp.full((max_centers - k,), neg_big, jnp.int32)])
     valid = top != neg_big
     flat_idx = jnp.where(valid, -top, 0)
     centers = jnp.stack([flat_idx // w, flat_idx % w], axis=-1).astype(jnp.float32)

@@ -178,3 +178,16 @@ def test_infer2d_bad_roi(tmp_path, tiny_config_yaml):
     with pytest.raises(SystemExit, match="bad --roi"):
         main(["infer2d", str(tmp_path / "img.npy"),
               "--model", tiny_config_yaml, "--roi", "banana"])
+
+
+def test_infer3d_orthoplane(tmp_path, tiny_config_yaml):
+    vol = np.stack([make_blob_image((64, 64), n_blobs=3, seed=s) for s in range(8)])
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    out_tpl = str(tmp_path / "ortho_{class}.npy")
+
+    main(["infer3d", str(vol_path), "-o", out_tpl, "--orthoplane",
+          "--model", tiny_config_yaml, "--median-slices", "1",
+          "--min-size", "0", "--min-extent", "0", "--allow-one-view"])
+    seg = np.load(tmp_path / "ortho_mito.npy")
+    assert seg.shape == vol.shape

@@ -249,3 +249,17 @@ def test_factor_pad_buckets():
     x = jnp.ones((1, 130, 150, 1))
     assert factor_pad(x, 16).shape == (1, 144, 160, 1)
     assert factor_pad(x, 16, buckets=True).shape == (1, 160, 160, 1)
+
+
+def test_find_instance_center_small_map():
+    """Heatmaps with fewer pixels than max_centers (thin ortho slices) must
+    not crash and must keep static (K, 2)/(K,) output shapes."""
+    from empanada_tpu.ops.postprocess import find_instance_center
+
+    hmp = jnp.zeros((1, 4, 8, 1)).at[0, 2, 5, 0].set(0.9)
+    centers, valid = jax.jit(
+        find_instance_center, static_argnames=("threshold", "nms_kernel", "max_centers")
+    )(hmp, threshold=0.1, nms_kernel=3, max_centers=256)
+    assert centers.shape == (256, 2) and valid.shape == (256,)
+    assert int(valid.sum()) == 1
+    assert tuple(np.asarray(centers[0], int)) == (2, 5)
