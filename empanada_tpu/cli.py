@@ -277,7 +277,9 @@ def build_parser():
 
     def common_infer(sp):
         sp.add_argument("--model", default="MitoNet_v1")
-        sp.add_argument("--downsampling", type=int, default=1)
+        sp.add_argument("--downsampling", type=int, default=1,
+                        choices=[1, 2, 4, 8, 16, 32, 64],
+                        help="inference scale (power of 2, as in the reference widget)")
         sp.add_argument("--label-divisor", type=int, default=1000, dest="label_divisor")
         sp.add_argument("--center-confidence", type=float, default=0.1, dest="center_confidence")
         sp.add_argument("--nms-kernel", type=int, default=3, dest="nms_kernel")
