@@ -239,3 +239,18 @@ def test_train_cli(tmp_path):
 
     main(["train", str(cfg_path)])
     assert os.path.exists(tmp_path / "out" / "cli_tiny_checkpoint.msgpack")
+
+
+def test_infer3d_multichip(tmp_path, tiny_config_yaml):
+    """--multichip drives MultiChipEngine3d over the virtual device mesh."""
+    vol = np.stack([make_blob_image((64, 64), n_blobs=3, seed=s) for s in range(8)])
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    out_tpl = str(tmp_path / "mc_{class}.npy")
+
+    main(["infer3d", str(vol_path), "-o", out_tpl, "--multichip",
+          "--model", tiny_config_yaml, "--median-slices", "1",
+          "--min-size", "0", "--min-extent", "0"])
+    seg = np.load(tmp_path / "mc_mito.npy")
+    assert seg.shape == vol.shape
+    assert (seg > 0).any()
