@@ -254,3 +254,46 @@ def test_infer3d_multichip(tmp_path, tiny_config_yaml):
     seg = np.load(tmp_path / "mc_mito.npy")
     assert seg.shape == vol.shape
     assert (seg > 0).any()
+
+
+def test_finetune_cli(tmp_path, tiny_config_yaml, monkeypatch):
+    """Drive the finetune subcommand: tiny registered-style model config +
+    4-image dataset -> new bundle registered under model_name."""
+    from PIL import Image
+
+    import empanada_tpu.api.export as E
+    import empanada_tpu.api.utils as U
+
+    monkeypatch.setattr(U, "MODEL_DIR", str(tmp_path / "home"))
+    monkeypatch.setattr(E, "MODEL_DIR", str(tmp_path / "home"))
+
+    d = tmp_path / "train" / "src"
+    (d / "images").mkdir(parents=True)
+    (d / "masks").mkdir(parents=True)
+    for i in range(4):
+        img = make_blob_image((64, 64), n_blobs=3, seed=i)
+        mask = (img < 100).astype(np.uint16)
+        Image.fromarray(img).save(d / "images" / f"{i:03d}.png")
+        Image.fromarray(mask).save(d / "masks" / f"{i:03d}.png")
+
+    config = {
+        "model_name": "cli_ft_tiny",
+        "model_config": tiny_config_yaml,   # resolved by the CLI
+        "TRAIN": {
+            "train_dir": str(tmp_path / "train"),
+            "model_dir": str(tmp_path / "out"),
+            "amp": False, "epochs": 1, "batch_size": 2, "print_freq": 100,
+            "schedule_params": {"max_lr": 1e-3, "pct_start": 0.3},
+            "optimizer_params": {"weight_decay": 0.01},
+            "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+            "metrics": [],
+        },
+        "DATASET": {},
+    }
+    cfg_path = tmp_path / "ft.yaml"
+    cfg_path.write_text(yaml.dump(config))
+
+    main(["finetune", str(cfg_path)])
+    from empanada_tpu.api import get_configs
+
+    assert "cli_ft_tiny" in get_configs()
