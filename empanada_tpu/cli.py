@@ -114,6 +114,10 @@ def cmd_infer2d(args):
             )
     if args.roi is not None:
         (y1, y2), (x1, x2) = _parse_roi(args.roi)
+        if y1 < 0 or x1 < 0 or y2 > image.shape[0] or x2 > image.shape[1]:
+            raise SystemExit(
+                f"--roi {args.roi} outside image bounds {image.shape}"
+            )
     elif roi_mask is not None:
         ys, xs = np.nonzero(roi_mask)
         if len(ys) == 0:

@@ -297,3 +297,10 @@ def test_finetune_cli(tmp_path, tiny_config_yaml, monkeypatch):
     from empanada_tpu.api import get_configs
 
     assert "cli_ft_tiny" in get_configs()
+
+
+def test_infer2d_roi_out_of_bounds(tmp_path, tiny_config_yaml):
+    np.save(tmp_path / "img.npy", np.zeros((64, 64), np.uint8))
+    with pytest.raises(SystemExit, match="outside image bounds"):
+        main(["infer2d", str(tmp_path / "img.npy"),
+              "--model", tiny_config_yaml, "--roi", "0:128,0:64"])
