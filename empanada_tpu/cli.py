@@ -264,6 +264,30 @@ def cmd_port(args):
     print(f"ported {args.checkpoint} ({ckpt_arch or arch}) -> {out}")
 
 
+def cmd_labels(args):
+    """Headless label curation (reference _label_counter_widget.py /
+    _filter_small_labels.py widgets): count ids per class, filter small or
+    border-touching labels."""
+    labels = np.asarray(_load_array(args.labels))
+    if args.action == "count":
+        from empanada_tpu.curation import count_labels, save_label_lists
+
+        queue, class_ids = count_labels(labels, args.label_divisor)
+        for ci in class_ids:
+            print(f"class {ci}: {len(queue[ci])} labels")
+        if args.out:
+            path = save_label_lists([queue], {c: str(c) for c in class_ids}, args.out)
+            print(f"wrote {path}")
+    else:
+        from empanada_tpu.curation import apply_label_filter
+
+        kwargs = {"filter": "boundary"} if args.action == "boundary" else {
+            "filter": "small", "minimum_area_allowed": args.min_area}
+        out, n_removed = apply_label_filter(labels.copy(), mode=args.mode, **kwargs)
+        _save_labels(args.out or args.labels, out)
+        print(f"removed {n_removed} labels -> {args.out or args.labels}")
+
+
 def cmd_docs(args):
     readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
     print(open(readme).read() if os.path.exists(readme) else "see PARITY.md / README.md in the repo")
@@ -351,6 +375,16 @@ def build_parser():
     sp.add_argument("--out", default="merged")
     sp.add_argument("--patch-size", type=int, default=2048, dest="patch_size")
     sp.set_defaults(func=cmd_tiles)
+
+    sp = sub.add_parser("labels", help="count / filter label maps")
+    sp.add_argument("action", choices=["count", "small", "boundary"])
+    sp.add_argument("labels", help="label map (.npy / tiff / zarr dir)")
+    sp.add_argument("-o", "--out", default=None,
+                    help="output (spreadsheet for count, label map for filters)")
+    sp.add_argument("--label-divisor", type=int, default=1000, dest="label_divisor")
+    sp.add_argument("--min-area", type=int, default=100, dest="min_area")
+    sp.add_argument("--mode", default="image", choices=["image", "patches", "volume"])
+    sp.set_defaults(func=cmd_labels)
 
     sp = sub.add_parser("port", help="convert a torch checkpoint to a flax bundle")
     sp.add_argument("checkpoint")

@@ -304,3 +304,27 @@ def test_infer2d_roi_out_of_bounds(tmp_path, tiny_config_yaml):
     with pytest.raises(SystemExit, match="outside image bounds"):
         main(["infer2d", str(tmp_path / "img.npy"),
               "--model", tiny_config_yaml, "--roi", "0:128,0:64"])
+
+
+def test_labels_count_and_filter(tmp_path, capsys):
+    seg = np.zeros((32, 32), np.int64)
+    seg[2:6, 2:6] = 1001        # 16 px instance
+    seg[10:12, 10:12] = 1002    # 4 px (small)
+    seg[0:3, 20:24] = 2001      # touches border, class 2
+    np.save(tmp_path / "seg.npy", seg)
+
+    main(["labels", "count", str(tmp_path / "seg.npy"),
+          "-o", str(tmp_path / "counts.csv")])
+    out = capsys.readouterr().out
+    assert "class 1: 2 labels" in out and "class 2: 1 labels" in out
+    assert (tmp_path / "counts.csv").exists()
+
+    main(["labels", "small", str(tmp_path / "seg.npy"),
+          "-o", str(tmp_path / "filt.npy"), "--min-area", "8"])
+    filt = np.load(tmp_path / "filt.npy")
+    assert 1002 not in filt and 1001 in filt
+
+    main(["labels", "boundary", str(tmp_path / "seg.npy"),
+          "-o", str(tmp_path / "nb.npy")])
+    nb = np.load(tmp_path / "nb.npy")
+    assert 2001 not in nb and 1001 in nb
