@@ -94,6 +94,7 @@ class PanopticBiFPNPR(PanopticBiFPN):
     oversample_ratio: int = 3
     importance_sample_ratio: float = 0.75
     subdivision_num_points: int = 8192
+    fused_render: str = "auto"
 
     def _setup_extra(self):
         self.semantic_pr = PointRendSemSegHead(
@@ -105,6 +106,7 @@ class PanopticBiFPNPR(PanopticBiFPN):
             self.importance_sample_ratio,
             self.subdivision_num_points,
             dtype=self.dtype,
+            fused_render=self.fused_render,
         )
 
     def _apply_heads(self, semantic_x, instance_x, train, render_steps, interpolate_ins):

@@ -143,6 +143,7 @@ class PanopticDeepLabPR(PanopticDeepLab):
     oversample_ratio: int = 3
     importance_sample_ratio: float = 0.75
     subdivision_num_points: int = 8192
+    fused_render: str = "auto"
 
     def _setup_extra(self):
         self.semantic_pr = PointRendSemSegHead(
@@ -154,6 +155,7 @@ class PanopticDeepLabPR(PanopticDeepLab):
             self.importance_sample_ratio,
             self.subdivision_num_points,
             dtype=self.dtype,
+            fused_render=self.fused_render,
         )
 
     def _apply_heads(self, semantic_x, instance_x, train, render_steps, interpolate_ins):
@@ -185,6 +187,7 @@ class PanopticDeepLabBC(PanopticDeepLab):
     oversample_ratio: int = 3
     importance_sample_ratio: float = 0.75
     subdivision_num_points: int = 8192
+    fused_render: str = "auto"
 
     def _setup_extra(self):
         self.boundary_head = PanopticDeepLabHead(1, dtype=self.dtype)
@@ -197,6 +200,7 @@ class PanopticDeepLabBC(PanopticDeepLab):
             importance_sample_ratio=self.importance_sample_ratio,
             subdivision_num_points=self.subdivision_num_points,
             dtype=self.dtype,
+            fused_render=self.fused_render,
         )
         self.semantic_pr = PointRendSemSegHead(**pr_kwargs)
         self.boundary_pr = PointRendSemSegHead(**pr_kwargs)

@@ -92,16 +92,51 @@ class StandardPointHead(nn.Module):
     coarse_pred_each_layer: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fcs = [
+            nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc{k + 1}")
+            for k in range(self.num_fc)
+        ]
+        self.predictor = nn.Dense(self.num_classes, dtype=self.dtype,
+                                  name="predictor")
+
     def __call__(self, fine_grained_features, coarse_features):
         # inputs: (N, P, C) channel-last point features
         x = jnp.concatenate([fine_grained_features, coarse_features], axis=-1)
-        for k in range(self.num_fc):
-            x = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc{k + 1}")(x)
-            x = nn.relu(x)
+        for layer in self.fcs:
+            x = nn.relu(layer(x))
             if self.coarse_pred_each_layer:
                 x = jnp.concatenate([x, coarse_features], axis=-1)
-        return nn.Dense(self.num_classes, dtype=self.dtype, name="predictor")(x)
+        return self.predictor(x)
+
+    def fused_weights(self, feature_dim: int):
+        """Extract the layer weights in the split form the fused Pallas
+        kernel consumes: per fc layer (W_fine (in, D) in compute dtype,
+        W_coarse (1, D), bias (1, D)); predictor as ((1, D), wpc, bp).
+
+        Requires num_classes == 1 and coarse_pred_each_layer.  During
+        init each layer is materialized with a dummy call (param shapes
+        depend only on input dims, so the tree matches the plain path).
+        """
+        assert self.num_classes == 1 and self.coarse_pred_each_layer
+        dt = self.dtype
+        layers = []
+        in_dim = feature_dim + 1
+        for layer in self.fcs:
+            if self.is_initializing():
+                layer(jnp.zeros((1, in_dim), dt))
+            p = layer.variables["params"]
+            kern = p["kernel"].astype(dt)
+            layers.append((kern[:-1], kern[-1:], p["bias"].astype(dt)[None, :]))
+            in_dim = self.fc_dim + 1
+        if self.is_initializing():
+            self.predictor(jnp.zeros((1, in_dim), dt))
+        p = self.predictor.variables["params"]
+        kern = p["kernel"].astype(dt)
+        wp = kern[:-1, 0][None, :]          # (1, D)
+        wpc = kern[-1, 0].astype(jnp.float32)
+        bp = p["bias"][0].astype(jnp.float32)
+        return layers, (wp, wpc, bp)
 
 
 class PointRendSemSegHead(nn.Module):
@@ -116,10 +151,26 @@ class PointRendSemSegHead(nn.Module):
     importance_sample_ratio: float = 0.75
     subdivision_num_points: int = 8192
     dtype: jnp.dtype = jnp.float32
+    # eval subdivision backend: "auto" = fused Pallas kernel on TPU when the
+    # step geometry allows, XLA hybrid otherwise; "never" = always XLA;
+    # "interpret" = fused kernel in interpreter mode (CPU tests)
+    fused_render: str = "auto"
 
     def setup(self):
         self.point_head = StandardPointHead(
             self.num_classes, self.fc_dim, self.num_fc, dtype=self.dtype
+        )
+
+    def _fused_step_ok(self, h2: int, w2: int, hc: int, wc: int,
+                       feature_dim: int) -> bool:
+        from empanada_tpu.ops import pallas_pointrend as ppr
+
+        if self.fused_render == "never":
+            return False
+        if self.fused_render == "auto" and jax.default_backend() != "tpu":
+            return False
+        return ppr.fused_step_supported(
+            h2, w2, hc, wc, self.num_classes, feature_dim, self.dtype
         )
 
     def __call__(
@@ -157,11 +208,33 @@ class PointRendSemSegHead(nn.Module):
             # upsampled ones.  Bit-identical to the reference's point loop
             # whenever the K-th uncertainty value is unique (ties select a
             # superset); ~2x faster than the gather/scatter formulation.
+            from empanada_tpu.ops import pallas_pointrend as ppr
+
+            hc, wc = features.shape[1], features.shape[2]
+            feat_pad = None
+            fused_wts = None
             sem_seg_logits = coarse_sem_seg_logits
             for _ in range(subdivision_steps):
                 n, h, w, c = sem_seg_logits.shape
                 h2, w2 = 2 * h, 2 * w
                 num_points = min(h2 * w2, self.subdivision_num_points)
+
+                if self._fused_step_ok(h2, w2, hc, wc, features.shape[-1]):
+                    if feat_pad is None:
+                        feat_pad = ppr.pack_features(
+                            features, coarse_sem_seg_logits
+                        )
+                        fused_wts = self.point_head.fused_weights(
+                            features.shape[-1]
+                        )
+                    sem_seg_logits = ppr.fused_refine_step(
+                        sem_seg_logits,
+                        feat_pad,
+                        fused_wts,
+                        self.subdivision_num_points,
+                        interpret=self.fused_render == "interpret",
+                    )
+                    continue
                 sem_seg_logits = bilinear_resize(
                     sem_seg_logits, (h2, w2), align_corners=False
                 )

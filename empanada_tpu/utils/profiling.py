@@ -79,33 +79,42 @@ class StageTimer:
 def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
     """Best sustained seconds-per-call of a jitted fn.
 
-    Chains ``iters`` invocations in one lax.scan (inputs perturbed per step
-    so nothing folds), reduces outputs to a scalar, and times whole chains —
+    Chains invocations in one lax.scan (inputs perturbed per step so
+    nothing folds), reduces outputs to a scalar, and times whole chains —
     immune to async dispatch returning early and to per-call fetch latency.
+    The launch+fetch constant (which a remote tunnel makes tens of ms) is
+    cancelled exactly by differencing a chain of ``2*iters`` against a
+    chain of ``iters``.
 
     ``perturb(args, k)`` maps the step index to fresh args; default adds
     1e-4*k to the last array argument.
     """
+    import functools
+
     import jax.numpy as jnp
 
     if perturb is None:
         def perturb(a, k):
             return a[:-1] + (a[-1] + 1e-4 * k.astype(jnp.float32),)
 
-    @jax.jit
-    def chain(*a):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(*a, n):
         def body(carry, k):
             outs = fn(*perturb(a, k))
             return carry + sum(
                 o.astype(jnp.float32).sum() for o in jax.tree.leaves(outs)
             ), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
         return acc
 
-    float(chain(*args))  # compile + warm
+    float(chain(*args, n=iters))      # compile + warm
+    float(chain(*args, n=2 * iters))  # compile + warm
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        float(chain(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        float(chain(*args, n=iters))
+        t1 = time.perf_counter()
+        float(chain(*args, n=2 * iters))
+        t2 = time.perf_counter()
+        best = min(best, max((t2 - t1) - (t1 - t0), 0.0) / iters)
     return best

@@ -1,0 +1,157 @@
+"""Fused PointRend subdivision (ops/pallas_pointrend.py, ops/select.py).
+
+CPU tests run the Pallas kernel in interpreter mode against the XLA
+dense-mask oracle; on TPU the same assertions validate the compiled
+kernel (run via the axon tunnel, not in CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from empanada_tpu.models.point_rend import PointRendSemSegHead, StandardPointHead
+from empanada_tpu.ops import pallas_pointrend as ppr
+from empanada_tpu.ops.interpolate import bilinear_resize
+from empanada_tpu.ops.select import kth_largest, kth_smallest_nonneg
+
+
+class TestSelect:
+    @pytest.mark.parametrize("k", [1, 7, 100, 1000])
+    def test_kth_largest_matches_topk(self, k):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 3, (4, 1000)), jnp.float32)
+        got = kth_largest(x, k)
+        want = jnp.sort(x, axis=1)[:, -min(k, 1000)]
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_kth_largest_with_duplicates(self):
+        x = jnp.asarray([[1.0, 2.0, 2.0, 2.0, 3.0, -1.0]])
+        assert float(kth_largest(x, 2)[0]) == 2.0
+        assert float(kth_largest(x, 4)[0]) == 2.0
+        assert float(kth_largest(x, 5)[0]) == 1.0
+
+    @pytest.mark.parametrize("k", [1, 13, 512])
+    def test_kth_smallest_nonneg(self, k):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.abs(rng.normal(0, 2, (3, 700))), jnp.float32)
+        got = kth_smallest_nonneg(x, k)
+        want = jnp.sort(x, axis=1)[:, min(k, 700) - 1]
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    def test_kth_smallest_includes_zero_and_bf16_values(self):
+        x = jnp.asarray([[0.0, 0.5, 0.25, 4.0]])
+        assert float(kth_smallest_nonneg(x, 1)[0]) == 0.0
+        assert float(kth_smallest_nonneg(x, 3)[0]) == 0.5
+
+
+def _dense_oracle(head, params, sem, coarse, features, num_points):
+    """The XLA dense-mask subdivision step (models/point_rend.py dense
+    branch), used as the semantics oracle for the fused kernel."""
+    n, h, w, c = sem.shape
+    h2, w2 = 2 * h, 2 * w
+    num_points = min(num_points, h2 * w2)
+    up = bilinear_resize(sem, (h2, w2), align_corners=False)
+    u = -jnp.abs(up)
+    kth = jax.lax.top_k(u.reshape(n, -1).astype(jnp.float32), num_points)[0][:, -1]
+    mask = u.astype(jnp.float32) >= kth[:, None, None, None]
+    coarse_dense = bilinear_resize(coarse, (h2, w2), align_corners=False,
+                                   zeros_padding=True)
+    fine_dense = bilinear_resize(features, (h2, w2), align_corners=False,
+                                 zeros_padding=True)
+    dense_logits = head.apply(
+        params,
+        fine_dense.reshape(n, h2 * w2, -1),
+        coarse_dense.reshape(n, h2 * w2, c),
+    ).reshape(n, h2, w2, c)
+    return jnp.where(mask, dense_logits, up), mask
+
+
+def _setup(seed, hc=64, f=128, sf=2, n=2):
+    rng = np.random.default_rng(seed)
+    h = hc * sf // 2
+    sem = jnp.asarray(rng.normal(0, 1.5, (n, h, h, 1)), jnp.bfloat16)
+    coarse = jnp.asarray(rng.normal(0, 1.5, (n, hc, hc, 1)), jnp.bfloat16)
+    features = jnp.asarray(rng.normal(0, 1, (n, hc, hc, f)), jnp.bfloat16)
+    head = StandardPointHead(num_classes=1, fc_dim=64, num_fc=3,
+                             dtype=jnp.bfloat16)
+    params = head.init(jax.random.key(seed),
+                       jnp.zeros((1, 4, f), jnp.bfloat16),
+                       jnp.zeros((1, 4, 1), jnp.bfloat16))
+    return sem, coarse, features, head, params
+
+
+@pytest.mark.parametrize("sf", [2, 4])
+def test_fused_step_matches_dense_oracle(sf):
+    sem, coarse, features, head, params = _setup(3, hc=64, f=128, sf=sf)
+    num_points = 2048
+
+    refined, mask = _dense_oracle(head, params, sem, coarse, features, num_points)
+
+    wts = head.apply(params, features.shape[-1], method=head.fused_weights)
+    interpret = jax.default_backend() != "tpu"
+    got = ppr.fused_refine_step(sem, ppr.pack_features(features, coarse), wts,
+                                num_points, interpret=interpret)
+
+    got = np.asarray(got, np.float32)
+    want = np.asarray(refined, np.float32)
+    mask = np.asarray(mask)[..., 0].reshape(got.shape)
+
+    # non-refined pixels pass the upsampled logits through bit-exactly
+    assert np.array_equal(got[~mask], want[~mask])
+    # refined pixels agree to bf16 rounding (the c-column is accumulated
+    # separately in f32 — see kernel docstring)
+    ref = want[mask]
+    err = np.abs(got[mask] - ref)
+    assert np.quantile(err, 0.99) <= 0.05 * (1 + np.quantile(np.abs(ref), 0.99))
+    assert float(err.mean()) < 0.02 * (1 + float(np.abs(ref).mean()))
+
+
+def test_fused_step_refines_some_and_skips_some():
+    sem, coarse, features, head, params = _setup(4)
+    wts = head.apply(params, features.shape[-1], method=head.fused_weights)
+    interpret = jax.default_backend() != "tpu"
+    got = ppr.fused_refine_step(sem, ppr.pack_features(features, coarse), wts,
+                                256, interpret=interpret)
+    up = bilinear_resize(sem, (got.shape[1], got.shape[2]), align_corners=False)
+    changed = np.asarray(got != up).sum()
+    assert 0 < changed <= 2 * 256 * sem.shape[0]
+
+
+class TestHeadDispatch:
+    def _head(self, fused):
+        return PointRendSemSegHead(
+            num_classes=1, fc_dim=64, num_fc=3, subdivision_num_points=2048,
+            dtype=jnp.bfloat16, fused_render=fused,
+        )
+
+    def test_param_tree_identical_across_backends(self):
+        rng = np.random.default_rng(5)
+        coarse = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 1)), jnp.bfloat16)
+        feats = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 128)), jnp.bfloat16)
+        v_int = self._head("interpret").init(jax.random.key(0), coarse, feats,
+                                             train=False, subdivision_steps=2)
+        v_never = self._head("never").init(jax.random.key(0), coarse, feats,
+                                           train=False, subdivision_steps=2)
+        assert jax.tree_util.tree_structure(v_int) == jax.tree_util.tree_structure(v_never)
+        for a, b in zip(jax.tree.leaves(v_int), jax.tree.leaves(v_never)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_two_step_subdivision_close_to_xla_path(self):
+        rng = np.random.default_rng(6)
+        coarse = jnp.asarray(rng.normal(0, 1.5, (1, 64, 64, 1)), jnp.bfloat16)
+        feats = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 128)), jnp.bfloat16)
+        hf = self._head("interpret")
+        v = hf.init(jax.random.key(0), coarse, feats, train=False,
+                    subdivision_steps=2)
+        out_f = hf.apply(v, coarse, feats, train=False, subdivision_steps=2)
+        hn = self._head("never")
+        out_n = hn.apply(v, coarse, feats, train=False, subdivision_steps=2)
+        a = np.asarray(out_f["sem_seg_logits"], np.float32)
+        b = np.asarray(out_n["sem_seg_logits"], np.float32)
+        assert a.shape == b.shape == (1, 256, 256, 1)
+        # step 1 (dense XLA vs fused) matches to rounding; step 2 the XLA
+        # path goes sparse-top-k while fused keeps the threshold superset,
+        # so compare where both agree on non-refinement plus global stats
+        agree = np.mean(np.isclose(a, b, atol=0.11, rtol=0.15))
+        assert agree > 0.97
