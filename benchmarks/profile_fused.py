@@ -1,4 +1,7 @@
 """Isolate fused_refine_step cost: copy-through vs full refine vs XLA parts."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

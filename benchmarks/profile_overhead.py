@@ -1,4 +1,7 @@
 """Bisect pallas per-program overhead for the refine kernel structure."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import numpy as np
 import jax

@@ -1,4 +1,7 @@
 """Break down device time: model fwd (fused vs XLA render) / postprocess."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,3 +69,33 @@ for fused in ["never", "auto"]:
     dt_p = device_time(jax.jit(pipeline), variables, images, iters=10, trials=3)
     print(f"[fused={fused:5s}] model fwd: {dt_f*1e3:6.2f} ms  full pipeline: "
           f"{dt_p*1e3:6.2f} ms -> {B*H*W/dt_p/1e6:6.1f} Mvox/s")
+
+# --- trained-like logit magnitudes: scale the semantic head so logits are
+# confidently bimodal away from boundaries (what trained models produce);
+# measure the active-tile fraction and fused-render gain in that regime
+import flax
+
+def scale_sem_head(variables, gain=8.0):
+    v = flax.core.unfreeze(variables) if hasattr(flax.core, "unfreeze") else dict(variables)
+    import jax
+    params = v["params"]
+    def scale_tree(t):
+        return jax.tree.map(lambda a: a * gain, t)
+    params["semantic_head"] = scale_tree(params["semantic_head"])
+    if "semantic_pr" in params:
+        ph = params["semantic_pr"]["point_head"]
+        ph["predictor"] = scale_tree(ph["predictor"])
+    return v
+
+for fused in ["never", "auto"]:
+    model, variables = build(fused)
+    variables = scale_sem_head(variables)
+    fwd, pipeline = make_pipeline(model)
+    out = jax.jit(fwd)(variables, images)
+    sl = np.asarray(out["sem_logits"], np.float32)
+    frac_uncertain = float((np.abs(sl) < np.quantile(np.abs(sl), 8192/ (512*512))).mean())
+    dt_f = device_time(jax.jit(fwd), variables, images, iters=10, trials=3)
+    dt_p = device_time(jax.jit(pipeline), variables, images, iters=10, trials=3)
+    print(f"[gain8 fused={fused:5s}] |logit| p50={np.median(np.abs(sl)):.2f} "
+          f"fwd: {dt_f*1e3:6.2f} ms  pipeline: {dt_p*1e3:6.2f} ms -> "
+          f"{B*512*512/dt_p/1e6:6.1f} Mvox/s")

@@ -1,4 +1,7 @@
 """Micro-profile PointRend render internals at 512^2 x B8."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,7 @@
 """C=1 2x bilinear upsample formulations, 8x(256,256)->(512,512) bf16."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -55,15 +55,30 @@ def overlapping_box_pairs(boxes1, boxes2=None, chunk: int = 1024) -> np.ndarray:
     """(k, 2) index pairs of boxes with positive intersection.
 
     Equivalent to ``box_iou(boxes1, boxes2).nonzero()`` but never
-    materializes an (n, m) float64 matrix: rows are processed in chunks with
-    a bool overlap test per dimension, so memory stays O(chunk * m) and the
-    quadratic pass is allocation-light (the reference's numba double loop,
-    array_utils.py:178, had the same screening role).
+    materializes an (n, m) float64 matrix.  Integer boxes above a small
+    size threshold go through the native sweep-line kernel
+    (csrc/core_kernels.cpp box_overlap_pairs) — output-sensitive, i.e.
+    near-linear on real instance sets instead of the quadratic boolean
+    pass; otherwise rows are processed in chunks with a bool overlap test
+    per dimension, memory O(chunk * m) (the reference's numba double
+    loop, array_utils.py:178, had the same screening role).
     """
     boxes1 = np.asarray(boxes1)
     boxes2 = boxes1 if boxes2 is None else np.asarray(boxes2)
     if len(boxes1) == 0 or len(boxes2) == 0:
         return np.empty((0, 2), dtype=np.int64)
+
+    from empanada_tpu.core import native
+
+    if (
+        len(boxes1) * len(boxes2) > 16384
+        and np.issubdtype(boxes1.dtype, np.integer)
+        and np.issubdtype(boxes2.dtype, np.integer)
+        and native.available()
+    ):
+        return native.box_overlap_pairs(
+            boxes1, None if boxes2 is boxes1 else boxes2
+        )
     ndim = boxes1.shape[1] // 2
 
     lo2 = boxes2[:, :ndim]           # (m, ndim)

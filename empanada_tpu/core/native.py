@@ -78,6 +78,11 @@ def _load():
         i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64]
     lib.chunk_split_ranges.restype = ctypes.c_int64
 
+    lib.box_overlap_pairs.argtypes = [
+        i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+        i64p, ctypes.c_int64]
+    lib.box_overlap_pairs.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -181,6 +186,27 @@ def gray_watershed(
         mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mask_flat),
         _i64p(ml), len(ml), _i64p(nb), len(nb), _i64p(output_flat),
     )
+
+
+def box_overlap_pairs(boxes1, boxes2=None) -> np.ndarray:
+    """(k, 2) ordered index pairs with positive box intersection, via the
+    output-sensitive C++ sweep (see csrc box_overlap_pairs).  Pairs come
+    back sorted lexicographically, matching the dense nonzero() order."""
+    lib = _load()
+    b1 = _as_i64(boxes1)
+    b2 = b1 if boxes2 is None else _as_i64(boxes2)
+    nd = b1.shape[1] // 2
+    cap = max(65536, 8 * max(len(b1), len(b2)))
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        n_out = lib.box_overlap_pairs(
+            _i64p(b1), len(b1), _i64p(b2), len(b2), nd, _i64p(out), cap
+        )
+        if n_out >= 0:
+            pairs = out[:n_out]
+            order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+            return pairs[order].copy()
+        cap *= 4
 
 
 def chunk_split_ranges(ranges, modulo: int, divisor: int) -> np.ndarray:

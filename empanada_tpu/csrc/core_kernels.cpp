@@ -255,6 +255,99 @@ void gray_watershed(const float* image, const uint8_t* mask, int64_t size,
 }
 
 // ---------------------------------------------------------------------------
+// Sweep-line box overlap pairs.
+//
+// Emits (i, j) index pairs of boxes with strictly positive intersection in
+// every dimension (the reference screened candidates with a dense numba
+// pairwise box IoU, empanada/array_utils.py:178; the numpy replacement is a
+// chunked O(n*m) boolean pass).  This sweep over axis 0 is output-sensitive:
+// work = #axis0-overlapping pairs, which on real EM instance sets is
+// near-linear in n.
+//
+// Boxes are (n, 2*nd) int64 [lo_0..lo_{nd-1}, hi_0..hi_{nd-1}].  The two
+// sets may alias (self-join): every ordered pair, including the diagonal,
+// is then emitted exactly once, matching box_iou(boxes).nonzero().
+// Returns the pair count, or -1 if `cap` pairs would be exceeded.
+// ---------------------------------------------------------------------------
+
+int64_t box_overlap_pairs(const int64_t* boxes1, int64_t n1,
+                          const int64_t* boxes2, int64_t n2,
+                          int64_t nd, int64_t* out, int64_t cap) {
+    struct Event {
+        int64_t coord;
+        int32_t kind;   // 0 = end (processed first at equal coord), 1 = start
+        int32_t set;    // 0 = boxes1, 1 = boxes2
+        int64_t idx;
+    };
+    std::vector<Event> events;
+    events.reserve(2 * (n1 + n2));
+    const int64_t* boxes[2] = {boxes1, boxes2};
+    const int64_t counts[2] = {n1, n2};
+    for (int s = 0; s < 2; ++s) {
+        for (int64_t i = 0; i < counts[s]; ++i) {
+            const int64_t* b = boxes[s] + 2 * nd * i;
+            bool degenerate = false;
+            for (int64_t d = 0; d < nd; ++d)
+                if (b[nd + d] <= b[d]) { degenerate = true; break; }
+            if (degenerate) continue;  // hi > lo required in every dim
+            events.push_back({b[0], 1, (int32_t)s, i});
+            events.push_back({b[nd], 0, (int32_t)s, i});
+        }
+    }
+    std::sort(events.begin(), events.end(), [](const Event& a, const Event& b) {
+        if (a.coord != b.coord) return a.coord < b.coord;
+        if (a.kind != b.kind) return a.kind < b.kind;
+        if (a.set != b.set) return a.set < b.set;
+        return a.idx < b.idx;
+    });
+
+    // active lists with O(1) swap-removal
+    std::vector<int64_t> active[2];
+    std::vector<int64_t> pos[2];
+    pos[0].assign(n1, -1);
+    pos[1].assign(n2, -1);
+
+    int64_t n_out = 0;
+    for (const Event& ev : events) {
+        std::vector<int64_t>& own = active[ev.set];
+        std::vector<int64_t>& own_pos = pos[ev.set];
+        if (ev.kind == 0) {  // end: remove
+            int64_t p = own_pos[ev.idx];
+            own_pos[own.back()] = p;
+            std::swap(own[p], own.back());
+            own.pop_back();
+            own_pos[ev.idx] = -1;
+            continue;
+        }
+        // start: scan the OTHER set's active list for full-dim overlap
+        int other = 1 - ev.set;
+        const int64_t* bi = boxes[ev.set] + 2 * nd * ev.idx;
+        for (int64_t j : active[other]) {
+            const int64_t* bj = boxes[other] + 2 * nd * j;
+            bool hit = true;
+            for (int64_t d = 1; d < nd; ++d) {
+                int64_t lo = std::max(bi[d], bj[d]);
+                int64_t hi = std::min(bi[nd + d], bj[nd + d]);
+                if (hi <= lo) { hit = false; break; }
+            }
+            if (!hit) continue;
+            if (n_out >= cap) return -1;
+            if (ev.set == 0) {
+                out[2 * n_out] = ev.idx;
+                out[2 * n_out + 1] = j;
+            } else {
+                out[2 * n_out] = j;
+                out[2 * n_out + 1] = ev.idx;
+            }
+            ++n_out;
+        }
+        own_pos[ev.idx] = (int64_t)own.size();
+        own.push_back(ev.idx);
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Split sorted ranges at chunk boundaries: a position p belongs to chunk
 // (p % modulo) / divisor; ranges crossing a boundary are split so each output
 // range lies in exactly one chunk along this axis.

@@ -239,3 +239,45 @@ def test_overlapping_box_pairs_matches_box_iou_nonzero():
         ref = set(map(tuple, np.array(box_iou(boxes1, boxes2).nonzero()).T))
         got = set(map(tuple, overlapping_box_pairs(boxes1, boxes2, chunk=16)))
         assert got == ref
+
+
+def test_native_box_overlap_pairs_matches_numpy_sweep():
+    """The C++ sweep-line screen is exactly box_iou(...).nonzero() — every
+    ordered pair incl. the diagonal, lexicographic order, degenerate boxes
+    excluded (csrc/core_kernels.cpp box_overlap_pairs)."""
+    from empanada_tpu.core import box_intersection
+    from empanada_tpu.core import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for nd in (2, 3):
+        for _ in range(3):
+            n, m = rng.integers(1, 200, 2)
+            lo1 = rng.integers(0, 150, (n, nd))
+            ext1 = rng.integers(0, 25, (n, nd))  # some zero-extent boxes
+            lo2 = rng.integers(0, 150, (m, nd))
+            ext2 = rng.integers(0, 25, (m, nd))
+            b1 = np.concatenate([lo1, lo1 + ext1], 1).astype(np.int64)
+            b2 = np.concatenate([lo2, lo2 + ext2], 1).astype(np.int64)
+
+            def dense(a, b):
+                r, c = np.nonzero(box_intersection(a, b) > 0)
+                return np.stack([r, c], axis=1)
+
+            assert np.array_equal(native.box_overlap_pairs(b1, b2), dense(b1, b2))
+            assert np.array_equal(native.box_overlap_pairs(b1), dense(b1, b1))
+
+
+def test_overlapping_box_pairs_native_dispatch_above_threshold():
+    from empanada_tpu.core import native
+    from empanada_tpu.core.boxes import overlapping_box_pairs
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(8)
+    lo = rng.integers(0, 500, (300, 3))
+    b = np.concatenate([lo, lo + rng.integers(1, 40, (300, 3))], 1).astype(np.int64)
+    got = overlapping_box_pairs(b)          # 300*300 > threshold -> native
+    want = overlapping_box_pairs(b.astype(np.float64))  # float -> numpy path
+    assert np.array_equal(got, want)
