@@ -62,7 +62,7 @@ def make_pipeline(model):
 
     return fwd, pipeline
 
-for fused in ["never", "auto"]:
+for fused in ["never", "auto", "always"]:
     model, variables = build(fused)
     fwd, pipeline = make_pipeline(model)
     dt_f = device_time(jax.jit(fwd), variables, images, iters=10, trials=3)

@@ -163,11 +163,24 @@ class PointRendSemSegHead(nn.Module):
 
     def _fused_step_ok(self, h2: int, w2: int, hc: int, wc: int,
                        feature_dim: int) -> bool:
+        """Which subdivision steps route through the fused Pallas kernel.
+
+        "auto" uses it exactly where the XLA path would run the point head
+        DENSELY (h2*w2 <= 8*K): there the kernel is a strict win (~1.7x,
+        plus tile skipping on sparse-boundary data).  In the sparse regime
+        the kernel's tile-masked work floor (boundary_length x 128 lanes)
+        roughly ties XLA's top-k gather/scatter, so "auto" keeps the XLA
+        sparse path; "always" forces the kernel everywhere (best when
+        uncertainty is concentrated in few tiles, e.g. confident models on
+        mostly-uniform EM); "never" disables it.
+        """
         from empanada_tpu.ops import pallas_pointrend as ppr
 
         if self.fused_render == "never":
             return False
-        if self.fused_render == "auto" and jax.default_backend() != "tpu":
+        if self.fused_render in ("auto", "always") and jax.default_backend() != "tpu":
+            return False
+        if self.fused_render == "auto" and h2 * w2 > 8 * self.subdivision_num_points:
             return False
         return ppr.fused_step_supported(
             h2, w2, hc, wc, self.num_classes, feature_dim, self.dtype

@@ -95,7 +95,8 @@ class RegNet(nn.Module):
             strides[-1] = 1
 
         pyramid = []
-        x = ConvBnAct(RegNetParams.w_stem, 3, stride=2, dtype=self.dtype, name="stem")(x, train)
+        x = ConvBnAct(RegNetParams.w_stem, 3, stride=2, dtype=self.dtype,
+                      s2d_stem=True, name="stem")(x, train)
         pyramid.append(x)
 
         for i, (w, d, g, s) in enumerate(zip(self.widths, self.depths, self.groups, strides)):

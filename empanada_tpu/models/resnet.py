@@ -105,11 +105,22 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.output_stride in (16, 32)
-        # 7x7/2 stem
-        x = nn.Conv(
+        # 7x7/2 stem; on TPU the few-channel conv goes through the exact
+        # space-to-depth rewrite (blocks.s2d_stride2_conv) — the direct
+        # form runs at ~3% of MXU peak with cin=1
+        stem = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
             dtype=self.dtype, name="stem_conv",
-        )(x)
+        )
+        from empanada_tpu.models.blocks import s2d_stem_supported, s2d_stride2_conv
+
+        if s2d_stem_supported(x, self.dtype):
+            if self.is_initializing():
+                stem(x[:, :16, :16])
+            kern = stem.variables["params"]["kernel"].astype(self.dtype)
+            x = s2d_stride2_conv(x.astype(self.dtype), kern, 3)
+        else:
+            x = stem(x)
         x = batch_norm(x, train, self.dtype, name="stem_bn")
         x = nn.relu(x)
         p1 = max_pool_2d(x, 3, 2, 1)

@@ -135,3 +135,22 @@ class TestPanopticModels:
         out, _ = _init_and_run(model, x, render_steps=2, interpolate_ins=False)
         assert out["sem_logits"].shape == (1, 128, 128, 1)
         assert out["ctr_hmp"].shape == (1, 32, 32, 1)
+
+
+def test_s2d_stride2_conv_matches_direct_conv():
+    """The space-to-depth stem rewrite (models/blocks.py s2d_stride2_conv)
+    is algebraically exact vs the direct stride-2 conv."""
+    import jax.numpy as jnp
+    from empanada_tpu.models import blocks as blk
+
+    rng = np.random.default_rng(11)
+    for k, pad, cin, cout in [(7, 3, 1, 64), (3, 1, 1, 32), (5, 2, 2, 8)]:
+        x = jnp.asarray(rng.normal(0, 1, (2, 64, 48, cin)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.2, (k, k, cin, cout)), jnp.float32)
+        direct = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fast = blk.s2d_stride2_conv(x, w, pad)
+        assert fast.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-4)
