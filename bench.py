@@ -15,6 +15,12 @@ Baseline: the reference's own CPU-torch path (its QuantizablePanopticDeepLabPR
 measured on this host = 0.142 Mvox/s (single-core host; re-measure with
 --measure-baseline).  The reference publishes no numbers (BASELINE.md).
 
+Current: ~76 Mvox/s/chip (535x CPU-torch).  History: 32.4 (first jit
+pipeline) -> 68.3 (device-pipeline overlap, one-hot-matmul postprocess) ->
+75.9 (space-to-depth stem rewrite, radix-select PointRend threshold,
+launch-overhead-cancelled timing; inputs switched to blob-structured like
+the reference's test fixtures — noise is pathological for PointRend).
+
 Secondary recorded numbers (not in the JSON line): the full 3D pipeline
 (MultiChipEngine3d on 64x512x512 uint8, incl. host RLE/matching/fill and
 the dev tunnel's host<->device transfer tax) runs at 5.2 Mvox/s end-to-end
@@ -61,19 +67,15 @@ def build():
 
     thing_list = (1,)
 
-    def pipeline_one(variables, image):
-        """Full per-slice device pipeline -> dense panoptic map."""
-        out = model.apply(variables, image[None], train=False, render_steps=2,
-                          interpolate_ins=False)
-        sem = pp.logits_to_prob(out["sem_logits"].astype(jnp.float32))
+    def post_one(sem_l, ctr, off):
+        sem = pp.logits_to_prob(sem_l[None].astype(jnp.float32))
         cells = pp.get_instance_cells(
-            out["ctr_hmp"].astype(jnp.float32), out["offsets"].astype(jnp.float32),
+            ctr[None].astype(jnp.float32), off[None].astype(jnp.float32),
             coarse_boundaries=True, upsampling=1,
             threshold=0.1, nms_kernel=7, max_centers=256,
         )
         sem_h = pp.harden_seg(sem, 0.5)
-        import jax.numpy as jnp2
-        ins = jnp2.where(pp._thing_mask(sem_h, thing_list), cells, 0)
+        ins = jnp.where(pp._thing_mask(sem_h, thing_list), cells, 0)
         pan = pp.merge_semantic_and_instance(
             sem_h, ins, 1000, thing_list, 64, 0, num_classes=2, max_centers=256
         )
@@ -81,7 +83,12 @@ def build():
 
     @jax.jit
     def pipeline_batch(variables, images):
-        return jax.vmap(lambda im: pipeline_one(variables, im))(images)
+        # model handles the batch natively (the fused render kernel tiles
+        # over a batch grid axis; vmapping it would rewire program ids)
+        out = model.apply(variables, images, train=False, render_steps=2,
+                          interpolate_ins=False)
+        return jax.vmap(post_one)(out["sem_logits"], out["ctr_hmp"],
+                                  out["offsets"])
 
     return pipeline_batch, variables
 
@@ -136,7 +143,15 @@ def main():
     n_chips = max(1, len(jax.devices()))
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(0, 1, (BATCH, H, W, 1)), jnp.float32)
+    # blob-structured inputs (the reference's own test fixtures are seeded
+    # Gaussian blobs, tests/conftest.py:25) — pure noise is pathological
+    # for the boundary-adaptive render path and unrepresentative of EM
+    from scipy.ndimage import gaussian_filter
+
+    raw = rng.normal(0, 1, (BATCH, H, W, 1))
+    raw = np.stack([gaussian_filter(im, (12, 12, 0)) for im in raw])
+    raw = (raw - raw.mean()) / (raw.std() + 1e-6)
+    images = jnp.asarray(raw, jnp.float32)
 
     # Sustained on-device throughput via utils.device_time: invocations are
     # chained inside one jitted scan (inputs perturbed per step) and only a

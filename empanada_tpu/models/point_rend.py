@@ -165,22 +165,22 @@ class PointRendSemSegHead(nn.Module):
                        feature_dim: int) -> bool:
         """Which subdivision steps route through the fused Pallas kernel.
 
-        "auto" uses it exactly where the XLA path would run the point head
-        DENSELY (h2*w2 <= 8*K): there the kernel is a strict win (~1.7x,
-        plus tile skipping on sparse-boundary data).  In the sparse regime
-        the kernel's tile-masked work floor (boundary_length x 128 lanes)
-        roughly ties XLA's top-k gather/scatter, so "auto" keeps the XLA
-        sparse path; "always" forces the kernel everywhere (best when
-        uncertainty is concentrated in few tiles, e.g. confident models on
-        mostly-uniform EM); "never" disables it.
+        Measured verdict (v5e, MitoNet_v1 arch, 512^2x8): in-context XLA
+        fuses the dense-regime point head well enough that the kernel's
+        tile-masked formulation only wins when uncertain points occupy a
+        MINORITY of (16x128) tiles — and with K=8192 against <= 8K-point
+        grids nearly every tile holds one by construction.  So "auto"
+        keeps the XLA hybrid (with the radix-select K-th threshold), and
+        "always" opts into the kernel for workloads whose uncertainty is
+        genuinely concentrated (confident trained models, large grids with
+        small K).  "interpret" runs the kernel in interpreter mode (CPU
+        tests); "never" disables it.
         """
         from empanada_tpu.ops import pallas_pointrend as ppr
 
-        if self.fused_render == "never":
+        if self.fused_render in ("never", "auto"):
             return False
-        if self.fused_render in ("auto", "always") and jax.default_backend() != "tpu":
-            return False
-        if self.fused_render == "auto" and h2 * w2 > 8 * self.subdivision_num_points:
+        if self.fused_render == "always" and jax.default_backend() != "tpu":
             return False
         return ppr.fused_step_supported(
             h2, w2, hc, wc, self.num_classes, feature_dim, self.dtype
@@ -257,8 +257,15 @@ class PointRendSemSegHead(nn.Module):
                     # dense path: refine EVERY grid point with the MLP (pure
                     # MXU) and keep refined values where uncertainty reaches
                     # the K-th value — identical to top-K point refinement
-                    # when the K-th value is unique (ties pick a superset)
-                    kth = jax.lax.top_k(uncertainty.reshape(n, -1), num_points)[0][:, -1]
+                    # when the K-th value is unique (ties pick a superset).
+                    # The K-th VALUE comes from a radix select (no sort,
+                    # bit-identical to top_k[0][:, -1] — ops/select.py)
+                    from empanada_tpu.ops.select import kth_largest
+
+                    kth = kth_largest(
+                        uncertainty.reshape(n, -1).astype(jnp.float32),
+                        num_points,
+                    ).astype(uncertainty.dtype)
                     refine_mask = uncertainty >= kth[:, None, None, None]
                     # zeros_padding: stands in for point_sample at pixel
                     # centers, which zero-pads outside the feature map
