@@ -83,6 +83,12 @@ def _load():
         i64p, ctypes.c_int64]
     lib.box_overlap_pairs.restype = ctypes.c_int64
 
+    lib.range_union.argtypes = [i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+    lib.range_union.restype = ctypes.c_int64
+
+    lib.batch_range_union.argtypes = [i64p, i64p, ctypes.c_int64, i64p, i64p]
+    lib.batch_range_union.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -186,6 +192,29 @@ def gray_watershed(
         mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mask_flat),
         _i64p(ml), len(ml), _i64p(nb), len(nb), _i64p(output_flat),
     )
+
+
+def range_union(ranges_a, ranges_b) -> np.ndarray:
+    """Union of two sorted disjoint (k, 2) range sets -> sorted disjoint
+    (m, 2) ranges (linear two-pointer merge, csrc range_union)."""
+    lib = _load()
+    a = _as_i64(ranges_a).reshape(-1, 2)
+    b = _as_i64(ranges_b).reshape(-1, 2)
+    out = np.empty((len(a) + len(b), 2), dtype=np.int64)
+    n_out = lib.range_union(_i64p(a), len(a), _i64p(b), len(b), _i64p(out))
+    return out[:n_out].copy()
+
+
+def batch_range_union(ranges, group_offsets):
+    """Per-group union of grouped (R, 2) ranges (csrc batch_range_union).
+    Returns (out_ranges (M, 2), out_offsets (G+1,))."""
+    lib = _load()
+    r = _as_i64(ranges).reshape(-1, 2)
+    go = _as_i64(group_offsets)
+    out = np.empty_like(r)
+    oo = np.empty_like(go)
+    lib.batch_range_union(_i64p(r), _i64p(go), len(go) - 1, _i64p(out), _i64p(oo))
+    return out[: oo[-1]].copy(), oo
 
 
 def box_overlap_pairs(boxes1, boxes2=None) -> np.ndarray:

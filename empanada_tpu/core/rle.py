@@ -71,11 +71,30 @@ def string_to_rle(encoding: str):
     return vals[::2].copy(), vals[1::2].copy()
 
 
+def _sorted_disjoint(r: np.ndarray) -> bool:
+    return len(r) < 2 or bool(np.all(r[1:, 0] >= r[:-1, 1]))
+
+
 def merge_rles(starts_a, runs_a, starts_b=None, runs_b=None):
-    """Union of two RLEs (or dedup/merge of one) into a disjoint sorted RLE."""
-    list_of_ranges = [np.stack([starts_a, np.asarray(starts_a) + np.asarray(runs_a)], axis=1)]
+    """Union of two RLEs (or dedup/merge of one) into a disjoint sorted RLE.
+
+    Instance RLEs from the segmentation codecs are always sorted and
+    disjoint, so the two-set union goes through the linear native
+    two-pointer merge (csrc range_union) — the matcher calls this on
+    every false-split absorption; the concat+sort fallback covers
+    unsorted inputs and no-native environments.
+    """
+    ra = np.stack([starts_a, np.asarray(starts_a) + np.asarray(runs_a)], axis=1)
     if starts_b is not None and runs_b is not None:
-        list_of_ranges.append(np.stack([starts_b, np.asarray(starts_b) + np.asarray(runs_b)], axis=1))
+        rb = np.stack([starts_b, np.asarray(starts_b) + np.asarray(runs_b)], axis=1)
+        from empanada_tpu.core import native
+
+        if native.available() and _sorted_disjoint(ra) and _sorted_disjoint(rb):
+            rle = R.ranges_to_rle(native.range_union(ra, rb))
+            return rle[:, 0], rle[:, 1]
+        list_of_ranges = [ra, rb]
+    else:
+        list_of_ranges = [ra]
     joined = R.join_ranges(list_of_ranges)
     rle = R.ranges_to_rle(joined)
     return rle[:, 0], rle[:, 1]

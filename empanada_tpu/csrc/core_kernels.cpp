@@ -101,6 +101,82 @@ int64_t range_intersection(const int64_t* a, int64_t na, const int64_t* b, int64
 }
 
 // ---------------------------------------------------------------------------
+// Two-pointer union of two sorted disjoint range sets into a sorted
+// disjoint output (adjacent/overlapping ranges coalesce).  The cross-slice
+// matcher merges instance RLEs on every false-split absorption
+// (reference matcher.py:14 merge_attrs) — a concat+sort there costs ~50 us
+// per merge in numpy; this is linear.  Returns the output count (<= na+nb).
+// ---------------------------------------------------------------------------
+
+int64_t range_union(const int64_t* a, int64_t na, const int64_t* b, int64_t nb,
+                    int64_t* out) {
+    int64_t i = 0, j = 0, n_out = 0;
+    int64_t cur_s = 0, cur_e = -1;
+    bool open = false;
+    while (i < na || j < nb) {
+        int64_t s, e;
+        if (j >= nb || (i < na && a[2 * i] <= b[2 * j])) {
+            s = a[2 * i]; e = a[2 * i + 1]; ++i;
+        } else {
+            s = b[2 * j]; e = b[2 * j + 1]; ++j;
+        }
+        if (!open) {
+            cur_s = s; cur_e = e; open = true;
+        } else if (s <= cur_e) {
+            if (e > cur_e) cur_e = e;
+        } else {
+            out[2 * n_out] = cur_s;
+            out[2 * n_out + 1] = cur_e;
+            ++n_out;
+            cur_s = s; cur_e = e;
+        }
+    }
+    if (open) {
+        out[2 * n_out] = cur_s;
+        out[2 * n_out + 1] = cur_e;
+        ++n_out;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Batched grouped range union: members of group g occupy
+// ranges[group_offsets[g] : group_offsets[g+1]); each group's ranges are
+// sorted by start and coalesced (overlap or adjacency) into the output.
+// out has capacity n_ranges; out_offsets (n_groups+1) receives group
+// extents.  One call replaces thousands of per-group numpy unions in the
+// cross-slice matcher's false-split merging.
+// ---------------------------------------------------------------------------
+
+int64_t batch_range_union(const int64_t* ranges, const int64_t* group_offsets,
+                          int64_t n_groups, int64_t* out, int64_t* out_offsets) {
+    int64_t n_out = 0;
+    out_offsets[0] = 0;
+    std::vector<std::pair<int64_t, int64_t>> buf;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        int64_t lo = group_offsets[g], hi = group_offsets[g + 1];
+        buf.clear();
+        buf.reserve(hi - lo);
+        for (int64_t i = lo; i < hi; ++i)
+            buf.emplace_back(ranges[2 * i], ranges[2 * i + 1]);
+        std::sort(buf.begin(), buf.end());
+        bool open = false;
+        int64_t cs = 0, ce = -1;
+        for (const auto& r : buf) {
+            if (!open) { cs = r.first; ce = r.second; open = true; }
+            else if (r.first <= ce) { if (r.second > ce) ce = r.second; }
+            else {
+                out[2 * n_out] = cs; out[2 * n_out + 1] = ce; ++n_out;
+                cs = r.first; ce = r.second;
+            }
+        }
+        if (open) { out[2 * n_out] = cs; out[2 * n_out + 1] = ce; ++n_out; }
+        out_offsets[g + 1] = n_out;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Batched pairwise intersection: all instances' ranges live in one flat
 // buffer with per-instance [row_offsets[i], row_offsets[i+1]) extents;
 // for each (a, b) pair, two-pointer intersection.  Replaces a per-pair

@@ -284,3 +284,59 @@ def test_sparse_assignment_matches_dense():
     dense_pairs = {(r, c) for r, c in zip(dr, dc) if m[r, c] >= thr}
     sparse_pairs = {(r, c) for r, c in zip(sr, sc) if m[r, c] >= thr}
     assert dense_pairs == sparse_pairs
+
+
+def test_merge_groups_matches_pairwise_fold():
+    """_merge_groups (one native batched union) == folding merge_attrs
+    pairwise, for random grouped instances."""
+    from empanada_tpu.stitch.matcher import _merge_groups, merge_attrs
+
+    rng = np.random.default_rng(12)
+    groups = {}
+    for lbl in range(20):
+        attrs = []
+        for _ in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(1, 30))
+            starts = np.sort(rng.choice(10000, n, replace=False)).astype(np.int64)
+            runs = rng.integers(1, 40, n).astype(np.int64)
+            y0, x0 = rng.integers(0, 50, 2)
+            attrs.append({
+                "box": (int(y0), int(x0), int(y0 + rng.integers(1, 20)),
+                        int(x0 + rng.integers(1, 20))),
+                "starts": starts, "runs": runs,
+            })
+        groups[lbl] = attrs
+
+    got = _merge_groups({k: list(v) for k, v in groups.items()})
+    for lbl, attrs in groups.items():
+        want = attrs[0]
+        for a in attrs[1:]:
+            want = merge_attrs(want, a)
+        g = got[lbl]
+        assert tuple(g["box"]) == tuple(want["box"])
+        assert np.array_equal(np.asarray(g["starts"]), np.asarray(want["starts"])), lbl
+        assert np.array_equal(np.asarray(g["runs"]), np.asarray(want["runs"])), lbl
+
+
+def test_native_range_union_matches_join_ranges():
+    from empanada_tpu.core import native
+    from empanada_tpu.core.ranges import join_ranges
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        def mk():
+            n = int(rng.integers(0, 40))
+            s = np.sort(rng.choice(2000, n, replace=False)).astype(np.int64)
+            e = s + rng.integers(1, 30, n)
+            # make sorted+disjoint by clipping ends at next start
+            if n > 1:
+                e[:-1] = np.minimum(e[:-1], s[1:])
+            keep = e > s
+            return np.stack([s[keep], e[keep]], axis=1)
+
+        a, b = mk(), mk()
+        got = native.range_union(a, b)
+        want = join_ranges([a, b])
+        assert np.array_equal(got, want)
