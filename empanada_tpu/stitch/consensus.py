@@ -50,23 +50,42 @@ def average_edge_between_clusters(G, cluster1, cluster2, key="iou"):
 
 def create_graph_of_clusters(G, cluster_iou_thr):
     """Group nodes whose IoU exceeds cluster_iou_thr; edges between groups
-    carry the average iou/overlap of the underlying object graph."""
+    carry the average iou/overlap of the underlying object graph.
+
+    Cluster-pair averages come from ONE pass over G's edges (absent edges
+    contribute 0, so sum/(|c1|*|c2|) equals the all-pairs average the
+    reference computes with nested member loops — which is O(C^2 * m^2)
+    and dominated consensus at ~1k instances/axis)."""
     H = G.copy()
     for u, v, d in G.edges(data=True):
         if d["iou"] <= cluster_iou_thr:
             H.remove_edge(u, v)
 
     cluster_graph = nx.Graph()
+    node2cluster = {}
+    sizes = {}
     for i, cluster in enumerate(nx.connected_components(H)):
         cluster_graph.add_node(i, cluster=cluster)
+        sizes[i] = len(cluster)
+        for n in cluster:
+            node2cluster[n] = i
 
-    for node1, node2 in combinations(cluster_graph.nodes, 2):
-        c1 = cluster_graph.nodes[node1]["cluster"]
-        c2 = cluster_graph.nodes[node2]["cluster"]
-        iou_w = average_edge_between_clusters(G, c1, c2, "iou")
-        ov_w = average_edge_between_clusters(G, c1, c2, "overlap")
+    pair_sums = {}
+    for u, v, d in G.edges(data=True):
+        cu, cv = node2cluster[u], node2cluster[v]
+        if cu == cv:
+            continue
+        key = (cu, cv) if cu < cv else (cv, cu)
+        acc = pair_sums.setdefault(key, [0.0, 0.0])
+        acc[0] += d["iou"]
+        acc[1] += d["overlap"]
+
+    for (i, j), (siou, sov) in pair_sums.items():
+        denom = sizes[i] * sizes[j]
+        iou_w = siou / denom
+        ov_w = sov / denom
         if iou_w > MIN_IOU or ov_w > MIN_OVERLAP:
-            cluster_graph.add_edge(node1, node2, iou=iou_w, overlap=ov_w)
+            cluster_graph.add_edge(i, j, iou=iou_w, overlap=ov_w)
 
     return cluster_graph
 
@@ -131,14 +150,34 @@ def merge_overlapping(cluster_instances):
     instance_ids = list(cluster_instances.keys())
     merge_graph = nx.Graph()
     merge_graph.add_nodes_from(instance_ids)
-    for c_i, c_j in combinations(instance_ids, 2):
-        pair_iou, inter = rle_iou(
-            cluster_instances[c_i]["starts"], cluster_instances[c_i]["runs"],
-            cluster_instances[c_j]["starts"], cluster_instances[c_j]["runs"],
-            return_intersection=True,
+
+    from empanada_tpu.core import native
+
+    pairs = np.asarray(list(combinations(range(len(instance_ids)), 2)), np.int64)
+    if native.available() and len(pairs):
+        # all pairwise intersections of this cluster in one native call
+        from empanada_tpu.stitch.matcher import _batch_intersections, _instance_areas
+
+        starts_list = [cluster_instances[k]["starts"] for k in instance_ids]
+        runs_list = [cluster_instances[k]["runs"] for k in instance_ids]
+        inters = _batch_intersections(
+            starts_list, runs_list, starts_list, runs_list, pairs
         )
-        if pair_iou > MIN_IOU or inter > MIN_OVERLAP:
-            merge_graph.add_edge(c_i, c_j)
+        areas = _instance_areas(runs_list)
+        unions = areas[pairs[:, 0]] + areas[pairs[:, 1]] - inters
+        ious = np.where(unions > 0, inters / np.maximum(unions, 1), 0.0)
+        for (i, j), iou, inter in zip(pairs, ious, inters):
+            if iou > MIN_IOU or inter > MIN_OVERLAP:
+                merge_graph.add_edge(instance_ids[i], instance_ids[j])
+    else:
+        for c_i, c_j in combinations(instance_ids, 2):
+            pair_iou, inter = rle_iou(
+                cluster_instances[c_i]["starts"], cluster_instances[c_i]["runs"],
+                cluster_instances[c_j]["starts"], cluster_instances[c_j]["runs"],
+                return_intersection=True,
+            )
+            if pair_iou > MIN_IOU or inter > MIN_OVERLAP:
+                merge_graph.add_edge(c_i, c_j)
 
     merged = []
     for comp in nx.connected_components(merge_graph):
