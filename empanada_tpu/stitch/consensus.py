@@ -40,6 +40,8 @@ __all__ = [
 
 
 def average_edge_between_clusters(G, cluster1, cluster2, key="iou"):
+    """Reference formulation (consensus.py:35) — kept for documentation;
+    create_graph_of_clusters computes the same averages in one edge pass."""
     weights = [
         G[n1][n2][key] if G.has_edge(n1, n2) else 0
         for n1 in cluster1

@@ -155,3 +155,35 @@ class TestHeadDispatch:
         # so compare where both agree on non-refinement plus global stats
         agree = np.mean(np.isclose(a, b, atol=0.11, rtol=0.15))
         assert agree > 0.97
+
+
+class TestTopKMaskIndices:
+    def test_matches_topk_set_unique_values(self):
+        from empanada_tpu.ops.select import top_k_mask_indices
+
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.permutation(1024 * 4).reshape(4, 1024), jnp.float32)
+        for k in (1, 7, 100, 640):
+            got = np.asarray(top_k_mask_indices(x, k))
+            want = np.sort(np.asarray(jax.lax.top_k(x, k)[1]), axis=1)
+            assert np.array_equal(np.sort(got, axis=1), want), k
+
+    def test_ties_keep_all_strictly_greater(self):
+        from empanada_tpu.ops.select import top_k_mask_indices
+
+        # BIG sits late in scanline order behind many boundary ties
+        x = np.zeros((1, 256), np.float32)
+        x[0, :40] = 1.0           # ties at the k-th value
+        x[0, 200] = 5.0           # strictly greater, must survive
+        x[0, 210] = 7.0
+        got = set(np.asarray(top_k_mask_indices(jnp.asarray(x), 10))[0].tolist())
+        assert 200 in got and 210 in got
+        assert len(got) == 10
+        assert all(g < 40 or g in (200, 210) for g in got)
+
+    def test_k_geq_m_returns_all(self):
+        from empanada_tpu.ops.select import top_k_mask_indices
+
+        x = jnp.asarray(np.random.default_rng(0).random((2, 128)), jnp.float32)
+        got = np.asarray(top_k_mask_indices(x, 128))
+        assert np.array_equal(got, np.tile(np.arange(128), (2, 1)))
