@@ -39,27 +39,16 @@ def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
 def get_uncertain_point_coords_on_grid(uncertainty_map: jnp.ndarray, num_points: int):
     """Top-``num_points`` most uncertain grid points.
 
-    The top-k SET comes from a radix-select threshold + block-rank
-    compaction (ops/select.py top_k_mask_indices) instead of top_k's full
-    bitonic sort (~5x faster at 8192-of-262144); indices come back in
-    scanline rather than descending-uncertainty order, which the
-    gather/scatter consumers don't observe.
-
     Args:
         uncertainty_map: (N, H, W, 1).
     Returns:
         point_indices: (N, P) flat indices into H*W.
         point_coords: (N, P, 2) normalized (x, y) in [0, 1] at pixel centers.
     """
-    from empanada_tpu.ops.select import top_k_mask_indices
-
     n, h, w, _ = uncertainty_map.shape
     num_points = min(h * w, num_points)
     flat = uncertainty_map.reshape(n, h * w)
-    if (h * w) % 128 == 0:
-        point_indices = top_k_mask_indices(flat, num_points)
-    else:
-        point_indices = jax.lax.top_k(flat, num_points)[1]
+    point_indices = jax.lax.top_k(flat, num_points)[1]
     xs = (1.0 / w) * (0.5 + (point_indices % w).astype(jnp.float32))
     ys = (1.0 / h) * (0.5 + (point_indices // w).astype(jnp.float32))
     return point_indices, jnp.stack([xs, ys], axis=-1)
