@@ -155,37 +155,14 @@ def grid_sample(
     wx = (px - ix0.astype(px.dtype)).astype(features.dtype)
     wy = (py - iy0.astype(py.dtype)).astype(features.dtype)
 
-    if jax.default_backend() == "tpu":
-        # one (2,2,C)-slice gather instead of four flat gathers: XLA lowers
-        # the contiguous 2x2xC window to strided DMAs (~25% faster at
-        # PointRend's 8192x256 sizes); the bilinear arithmetic below is
-        # identical, so results match the flat-gather path bit-for-bit
-        fp = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        sy = jnp.clip(iy0, -1, h - 1) + 1
-        sx = jnp.clip(ix0, -1, w - 1) + 1
-
-        def one(fimg, iy, ix):
-            starts = jnp.stack([iy, ix], axis=-1)
-            dnums = jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-                start_index_map=(0, 1))
-            return jax.lax.gather(fimg, starts, dnums, (2, 2, c))
-
-        win = jax.vmap(one)(fp, sy, sx)  # (N, P, 2, 2, C)
-        # zero out taps the clipped window cannot represent (coords more
-        # than one pixel outside — the pad ring handles the rest exactly)
-        inside = (
-            (py > -1.0) & (py < h) & (px > -1.0) & (px < w)
-        ).astype(features.dtype)[..., None]
-        v00 = win[:, :, 0, 0] * inside
-        v01 = win[:, :, 0, 1] * inside
-        v10 = win[:, :, 1, 0] * inside
-        v11 = win[:, :, 1, 1] * inside
-    else:
-        v00 = gather(iy0, ix0)
-        v01 = gather(iy0, ix1)
-        v10 = gather(iy1, ix0)
-        v11 = gather(iy1, ix1)
+    # NOTE: a (2,2,C)-slice lax.gather variant measured ~25% faster in
+    # isolation on v5e but 4x SLOWER in-context (the sliced gather blocks
+    # XLA's fusion/layout around the feature producer: 27 -> 110 ms on the
+    # full MitoNet pipeline) — keep the four flat gathers.
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix1)
+    v10 = gather(iy1, ix0)
+    v11 = gather(iy1, ix1)
 
     wx = wx[..., None]
     wy = wy[..., None]
