@@ -87,19 +87,22 @@ def _merge_groups(groups: dict) -> dict:
     merged, out_offsets = native.batch_range_union(ranges, group_offsets)
 
     boxes = np.asarray([a["box"] for a in members])
-    nd = boxes.shape[1] // 2
     for gi, (lbl, _) in enumerate(multi):
-        mb = boxes[bounds[gi] : bounds[gi + 1]]
-        box = tuple(
-            int(v) for v in np.concatenate([mb[:, :nd].min(0), mb[:, nd:].max(0)])
-        )
         seg = merged[out_offsets[gi] : out_offsets[gi + 1]]
         out[lbl] = {
-            "box": box,
+            "box": _bounding_box(boxes[bounds[gi] : bounds[gi + 1]]),
             "starts": seg[:, 0].copy(),
             "runs": (seg[:, 1] - seg[:, 0]).copy(),
         }
     return out
+
+
+def _bounding_box(boxes: np.ndarray) -> tuple:
+    """Smallest box enclosing all rows of an (n, 2*nd) box array."""
+    nd = boxes.shape[1] // 2
+    return tuple(
+        int(v) for v in np.concatenate([boxes[:, :nd].min(0), boxes[:, nd:].max(0)])
+    )
 
 
 def merge_attrs_many(attrs_list) -> dict:
@@ -108,11 +111,7 @@ def merge_attrs_many(attrs_list) -> dict:
     merge_attrs pairwise, k-1 fewer calls)."""
     from empanada_tpu.core.ranges import join_ranges, ranges_to_rle
 
-    boxes = np.asarray([a["box"] for a in attrs_list])
-    nd = boxes.shape[1] // 2
-    box = tuple(
-        int(v) for v in np.concatenate([boxes[:, :nd].min(0), boxes[:, nd:].max(0)])
-    )
+    box = _bounding_box(np.asarray([a["box"] for a in attrs_list]))
     ranges = [
         np.stack(
             [np.asarray(a["starts"]), np.asarray(a["starts"]) + np.asarray(a["runs"])],
