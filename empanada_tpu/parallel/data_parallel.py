@@ -160,14 +160,18 @@ class MultiChipEngine3d:
             return pan[0]
 
         @partial(jax.jit, static_argnames=("upsampling",))
-        def postprocess_batch(sem_stack, ctr_stack, off_stack, win_idx, idxs,
-                              use_median, upsampling=1):
-            """Gather sliding windows and merge — all inside one jit so the
-            host issues a single dispatch per batch (window gathers done
-            eagerly cost one RPC each over remote-device links)."""
-            sem_windows = sem_stack[win_idx]            # (B, ks, H, W, C)
-            ctr = ctr_stack[idxs]
-            off = off_stack[idxs]
+        def postprocess_batch(sem_ctx, ctr, off, win_idx, use_median,
+                              upsampling=1):
+            """Median over sliding windows gathered from a fixed-size rolling
+            context of sem batches, then panoptic merge — all inside one jit
+            so the host issues a single dispatch per batch (window gathers
+            done eagerly cost one RPC each over remote-device links).
+
+            ``sem_ctx``: tuple of 2K+1 sem batches (each (B, H, W, C))
+            concatenated inside the jit; ``win_idx`` is ctx-local.
+            """
+            stack = jnp.concatenate(sem_ctx, axis=0)    # ((2K+1)*B, H, W, C)
+            sem_windows = stack[win_idx]                # (B, ks, H, W, C)
             med = jnp.median(sem_windows, axis=1)
             raw = sem_windows[:, self.mid]
             sem = jnp.where(use_median[:, None, None, None], med, raw)
@@ -220,49 +224,80 @@ class MultiChipEngine3d:
         )
         worker = MatcherWorker(matchers, self.labels, self.label_divisor, self.thing_list)
 
-        # phase A: batched sharded forward over all slices
-        sems, ctrs, offs = [], [], []
-        size = None
-        for batch_idx, images, size in self._batches(dataset):
-            images = jax.device_put(
-                jnp.asarray(images, dtype=self.compute_dtype), self._shard
-            )
-            sem, ctr, off = self._forward(self.variables, images, render_steps=render_steps)
-            sems.append(sem)
-            ctrs.append(ctr)
-            offs.append(off)
-
-        sem_stack = jnp.concatenate(sems, axis=0)[:n_slices]
-        ctr_stack = jnp.concatenate(ctrs, axis=0)[:n_slices]
-        off_stack = jnp.concatenate(offs, axis=0)[:n_slices]
-
-        # phase B: batched median + panoptic merge, streamed to the matcher
-        h, w = size
+        # Streamed forward + postprocess: only a median-kernel-deep rolling
+        # window of sem batches (plus the current batch's ctr/off) is device-
+        # resident — memory is O(batch + kernel), not O(volume).  The
+        # reference streams one slice at a time through its DataLoader
+        # (empanada_napari/inference.py:526-543); this is the batched analog.
+        b = self.batch_size
         mid = self.mid
-        for start in range(0, n_slices, self.batch_size):
-            stop = min(start + self.batch_size, n_slices)
+        n_batches = -(-n_slices // b)
+        # context batches needed on each side of the current batch so every
+        # window [i-mid, i+mid] is covered
+        K = -(-mid // b)
+
+        batch_gen = self._batches(dataset)
+        sem_buf: dict = {}    # batch index -> device sem (B, H, W, C)
+        io_buf: dict = {}     # batch index -> (ctr, off)
+        fwd_done = -1
+        size = None
+        self._max_resident = 0  # observability: peak sem batches resident
+
+        def ensure_forwarded(upto: int):
+            nonlocal fwd_done, size
+            while fwd_done < min(upto, n_batches - 1):
+                _, images, size = next(batch_gen)
+                images = jax.device_put(
+                    jnp.asarray(images, dtype=self.compute_dtype), self._shard
+                )
+                sem, ctr, off = self._forward(
+                    self.variables, images, render_steps=render_steps
+                )
+                fwd_done += 1
+                sem_buf[fwd_done] = sem
+                io_buf[fwd_done] = (ctr, off)
+
+        for j in range(n_batches):
+            ensure_forwarded(j + K)
+            base = j - K
+            ctx = tuple(
+                sem_buf[min(max(base + i, 0), n_batches - 1)]
+                for i in range(2 * K + 1)
+            )
+
+            start, stop = j * b, min((j + 1) * b, n_slices)
             idxs = np.arange(start, stop)
             # sliding windows with edge clamping; edge slices use raw sem
             win_idx = np.clip(
                 idxs[:, None] + np.arange(-mid, mid + 1)[None, :], 0, n_slices - 1
             )
             use_median = (idxs >= mid) & (idxs < n_slices - mid)
-            if stop - start < self.batch_size:
-                pad = self.batch_size - (stop - start)
+            if stop - start < b:
+                pad = b - (stop - start)
                 win_idx = np.concatenate([win_idx, np.repeat(win_idx[-1:], pad, 0)])
                 use_median = np.concatenate([use_median, np.zeros(pad, bool)])
-            idxs_pad = np.clip(
-                np.pad(idxs, (0, self.batch_size - len(idxs)), mode="edge"), 0, n_slices - 1
-            )
+            # global slice index -> position in the concatenated ctx: batch
+            # (g // b) sits at ctx slot (g // b - base); tail padding of the
+            # last forward batch holds copies of the last slice, so clamped
+            # indices resolve correctly
+            win_local = (win_idx // b - base) * b + win_idx % b
 
+            ctr, off = io_buf.pop(j)
             pans = self._post_batch(
-                sem_stack, ctr_stack, off_stack,
-                jnp.asarray(win_idx), jnp.asarray(idxs_pad), jnp.asarray(use_median),
+                ctx, ctr, off,
+                jnp.asarray(win_local), jnp.asarray(use_median),
                 upsampling=self.inference_scale,
             )
+            h, w = size
             pans = np.asarray(pans)[: stop - start, :h, :w]
             for pan in pans:
                 worker.put(pan.astype(np.int64))
+
+            self._max_resident = max(self._max_resident, len(sem_buf))
+            # drop sem batches that no future window can reach
+            for k in list(sem_buf):
+                if k < j + 1 - K:
+                    del sem_buf[k]
 
         rle_stack = worker.finish()
 
