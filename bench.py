@@ -126,9 +126,115 @@ def measure_baseline():
     return H * W / dt / 1e6
 
 
+_TPU_PEAK_BF16_FLOPS = {
+    # per-chip dense bf16 peak (public figures)
+    "v4": 275e12,
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,  # v6e / Trillium
+    "v6e": 918e12,
+}
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _TPU_PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12  # conservative default (v5e-class)
+
+
+def measured_flops(pipeline_batch, variables, images) -> float:
+    """XLA's own FLOP count for one pipeline invocation (compiled cost
+    analysis) — anchors MFU to the actual program, not a hand model."""
+    try:
+        compiled = pipeline_batch.lower(variables, images).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_3d(timeout_s: int = 900):
+    """Full 3D pipeline (MultiChipEngine3d: device fwd+postprocess+packed-RLE
+    transfer, host matching/tracking) on 32x512x512 uint8, one chip.
+
+    Guarded by SIGALRM: the dev tunnel occasionally hangs large-program
+    compiles for >30 min (see .claude/skills/verify); on timeout the 3D
+    metric is reported as null rather than failing the whole bench."""
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _raise(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter
+
+        from empanada_tpu.models import create_model
+        from empanada_tpu.parallel import MultiChipEngine3d
+
+        d = 32
+        rng = np.random.default_rng(0)
+        field = gaussian_filter(rng.normal(0, 1, (d, H, W)), (2, 8, 8))
+        field /= field.std()
+        volume = (
+            (field > 0.6) * 110 + 90 + rng.normal(0, 6, (d, H, W))
+        ).clip(0, 255).astype(np.uint8)
+
+        model = create_model(
+            "PanopticDeepLabPR", encoder="resnet50", num_classes=1,
+            stage4_stride=16, decoder_channels=256, low_level_stages=(1,),
+            low_level_channels_project=(32,), ins_decoder=True,
+            subdivision_num_points=8192, dtype=jnp.bfloat16,
+        )
+        import jax
+
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0)}, jnp.zeros((1, H, W, 1), jnp.float32),
+            train=False,
+        )
+        config = {
+            "model_name": "bench", "class_names": {1: "mito"}, "labels": [1],
+            "thing_list": [1], "norms": {"mean": 0.57, "std": 0.12},
+            "padding_factor": 128, "description": "",
+        }
+        engine = MultiChipEngine3d(
+            config, label_divisor=1000, median_kernel_size=3, batch_size=8,
+            compute_dtype=jnp.bfloat16, model_and_variables=(model, variables),
+        )
+        engine.infer_on_axis(volume[:8], "xy")  # compile warmup
+        t0 = time.perf_counter()
+        _, trackers = engine.infer_on_axis(volume, "xy")
+        dt = time.perf_counter() - t0
+        return d * H * W / dt / 1e6
+    except _Timeout:
+        import sys
+
+        print("bench_3d: timed out (tunnel compile hang?)", file=sys.stderr)
+        return None
+    except Exception as e:
+        import sys
+
+        print(f"bench_3d failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-baseline", action="store_true")
+    parser.add_argument("--skip-3d", action="store_true")
     args = parser.parse_args()
 
     if args.measure_baseline:
@@ -162,11 +268,22 @@ def main():
     dt = device_time(pipeline_batch, variables, images, iters=ITERS, trials=3)
 
     mvox_s = BATCH * H * W / dt / 1e6 / n_chips
+    flops = measured_flops(pipeline_batch, variables, images)
+    mfu = flops / dt / peak_flops(jax.devices()[0]) if flops else None
+
+    mvox_3d = None if args.skip_3d else bench_3d()
+
     print(json.dumps({
         "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
         "value": round(mvox_s, 3),
         "unit": "Mvox/s/chip",
         "vs_baseline": round(mvox_s / BASELINE_CPU_TORCH_MVOX_S, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "metric_3d": "3D zarr-stack e2e (MultiChipEngine3d 32x512x512, device+host incl. tunnel transfer)",
+        "value_3d": round(mvox_3d, 3) if mvox_3d is not None else None,
+        "vs_baseline_3d": (
+            round(mvox_3d / BASELINE_CPU_TORCH_MVOX_S, 1) if mvox_3d is not None else None
+        ),
     }))
 
 

@@ -201,6 +201,8 @@ def cmd_train(args):
     from empanada_tpu.train import main as train_main
 
     config = load_config(args.config)
+    if getattr(args, "multichip", False):
+        config.setdefault("TRAIN", {})["multichip"] = True
     train_main(config)
 
 
@@ -348,6 +350,8 @@ def build_parser():
 
     sp = sub.add_parser("train", help="train from a yaml config")
     sp.add_argument("config")
+    sp.add_argument("--multichip", action="store_true",
+                    help="shard the batch axis over all devices (data-parallel)")
     sp.set_defaults(func=cmd_train)
 
     sp = sub.add_parser("finetune", help="finetune a registered model")

@@ -24,6 +24,7 @@ __all__ = [
     "connected_components_runs",
     "runs_to_regions",
     "label_2d",
+    "decode_runs_packed",
 ]
 
 
@@ -219,3 +220,38 @@ def label_2d(seg: np.ndarray, connectivity: int = 8) -> np.ndarray:
     for v, r, s, e in zip(comp, rows, cs, ce):
         out[r, s:e] = v
     return out
+
+
+def decode_runs_packed(row_buf: np.ndarray, width: int):
+    """Decode one slice of ``ops.postprocess.encode_runs_packed`` output.
+
+    Args:
+        row_buf: (H, 2R + 1) int16 — ``[starts(R) | values(R) | count]``.
+        width: row width W of the encoded map.
+
+    Returns:
+        (values, rows, col_starts, col_ends) int64 arrays of the NONZERO
+        runs (same contract as ``extract_runs``), or None when any row
+        overflowed its R-run capacity (caller falls back to dense).
+    """
+    row_buf = np.asarray(row_buf)
+    h, twr = row_buf.shape
+    r = (twr - 1) // 2
+    counts = row_buf[:, -1].astype(np.int64)
+    if counts.max(initial=0) > r:
+        return None
+    starts = row_buf[:, :r].astype(np.int64)
+    vals = row_buf[:, r : 2 * r].astype(np.int64) & 0xFFFF  # stored unsigned
+    mask = np.arange(r)[None, :] < counts[:, None]
+
+    rows = np.repeat(np.arange(h, dtype=np.int64), counts)
+    cs = starts[mask]
+    v = vals[mask]
+    # run ends: the next run's start within the same row, else width
+    ce = np.full(len(cs), width, dtype=np.int64)
+    if len(cs) > 1:
+        same_row = rows[1:] == rows[:-1]
+        ce[:-1] = np.where(same_row, cs[1:], width)
+
+    keep = v != 0
+    return v[keep], rows[keep], cs[keep], ce[keep]

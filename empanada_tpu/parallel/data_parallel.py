@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from empanada_tpu.core.chunked import create_chunked
+from empanada_tpu.core.labeling import decode_runs_packed
 from empanada_tpu.data.volume import VolumeDataset
 from empanada_tpu.ops import postprocess as pp
 from empanada_tpu.parallel.mesh import create_mesh, data_sharding, replicated
@@ -76,6 +77,8 @@ class MultiChipEngine3d:
         chunk_size=(256, 256, 256),
         save_panoptic: bool = False,
         compute_dtype=jnp.float32,
+        transfer_compaction: bool = True,
+        max_runs_per_row: Optional[int] = None,
         model_and_variables=None,
         **kwargs,
     ):
@@ -122,6 +125,9 @@ class MultiChipEngine3d:
         self.save_panoptic = save_panoptic
         self.dtype = np.int32
 
+        self.transfer_compaction = transfer_compaction
+        self.max_runs_per_row = max_runs_per_row
+
         self._shard = data_sharding(self.mesh)
         self._repl = replicated(self.mesh)
         self.variables = jax.device_put(variables, self._repl)
@@ -159,9 +165,9 @@ class MultiChipEngine3d:
             )
             return pan[0]
 
-        @partial(jax.jit, static_argnames=("upsampling",))
+        @partial(jax.jit, static_argnames=("upsampling", "crop", "max_runs"))
         def postprocess_batch(sem_ctx, ctr, off, win_idx, use_median,
-                              upsampling=1):
+                              upsampling=1, crop=None, max_runs=0):
             """Median over sliding windows gathered from a fixed-size rolling
             context of sem batches, then panoptic merge — all inside one jit
             so the host issues a single dispatch per batch (window gathers
@@ -169,18 +175,41 @@ class MultiChipEngine3d:
 
             ``sem_ctx``: tuple of 2K+1 sem batches (each (B, H, W, C))
             concatenated inside the jit; ``win_idx`` is ctx-local.
+
+            With ``max_runs > 0`` the padded maps are cropped to ``crop``
+            on device and run-length compacted (encode_runs_packed) so only
+            a packed int16 buffer crosses the device->host link; the dense
+            crop is also returned for the rare overflow fallback.
             """
             stack = jnp.concatenate(sem_ctx, axis=0)    # ((2K+1)*B, H, W, C)
             sem_windows = stack[win_idx]                # (B, ks, H, W, C)
             med = jnp.median(sem_windows, axis=1)
             raw = sem_windows[:, self.mid]
             sem = jnp.where(use_median[:, None, None, None], med, raw)
-            return jax.vmap(lambda s, c, o: _post_one(s, c, o, upsampling))(sem, ctr, off)
+            pans = jax.vmap(lambda s, c, o: _post_one(s, c, o, upsampling))(sem, ctr, off)
+            if max_runs <= 0:
+                return pans, None
+            h, w = crop
+            pans = pans[:, :h, :w]
+            return pans, pp.encode_runs_packed(pans, max_runs)
 
         self._forward = forward
         self._post_batch = postprocess_batch
 
     # ------------------------------------------------------------------
+    def _max_runs(self, width: int) -> int:
+        """Per-row run capacity for device compaction; 0 disables it.
+
+        int16 packing requires pan ids < 65536 and column indices < 32768;
+        otherwise fall back to dense int32 transfer."""
+        if not self.transfer_compaction:
+            return 0
+        if self.num_classes * self.label_divisor > 65535 or width > 32767:
+            return 0
+        if self.max_runs_per_row is not None:
+            return int(self.max_runs_per_row)
+        return max(32, width // 8)
+
     def _batches(self, dataset: VolumeDataset):
         """Yield (indices, images (B, H, W, 1) padded+stacked, size)."""
         n = len(dataset)
@@ -283,15 +312,30 @@ class MultiChipEngine3d:
             win_local = (win_idx // b - base) * b + win_idx % b
 
             ctr, off = io_buf.pop(j)
-            pans = self._post_batch(
+            h, w = size
+            max_runs = self._max_runs(w)
+            pans_dev, packed = self._post_batch(
                 ctx, ctr, off,
                 jnp.asarray(win_local), jnp.asarray(use_median),
                 upsampling=self.inference_scale,
+                crop=(h, w), max_runs=max_runs,
             )
-            h, w = size
-            pans = np.asarray(pans)[: stop - start, :h, :w]
-            for pan in pans:
-                worker.put(pan.astype(np.int64))
+            if packed is not None:
+                # one small packed fetch per batch; dense only on overflow
+                packed_np = np.asarray(packed)[: stop - start]
+                pans_np = None
+                for bi, row_buf in enumerate(packed_np):
+                    decoded = decode_runs_packed(row_buf, w)
+                    if decoded is None:
+                        if pans_np is None:
+                            pans_np = np.asarray(pans_dev)[: stop - start]
+                        worker.put(pans_np[bi].astype(np.int64))
+                    else:
+                        worker.put(("runs", decoded, w))
+            else:
+                pans = np.asarray(pans_dev)[: stop - start, :h, :w]
+                for pan in pans:
+                    worker.put(pan.astype(np.int64))
 
             self._max_resident = max(self._max_resident, len(sem_buf))
             # drop sem batches that no future window can reach

@@ -24,7 +24,7 @@ from empanada_tpu.stitch.consensus import (
     merge_semantic_from_trackers,
 )
 from empanada_tpu.stitch.matcher import RLEMatcher
-from empanada_tpu.stitch.rle_seg import pan_seg_to_rle_seg
+from empanada_tpu.stitch.rle_seg import pan_seg_to_rle_seg, runs_to_rle_seg
 from empanada_tpu.stitch.tracker import InstanceTracker
 
 __all__ = [
@@ -78,7 +78,10 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing
     """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
 
     Accepts numpy pan_segs from ``in_queue``; ``None`` items are skipped
-    (median queue filling); the ``FINISH`` sentinel ends the loop.
+    (median queue filling); the ``FINISH`` sentinel ends the loop.  A
+    device-compacted slice arrives as ``("runs", (values, rows, cs, ce),
+    width)`` (see ops.postprocess.encode_runs_packed) and skips the dense
+    extract_runs pass.
     """
     while True:
         pan_seg = in_queue.get()
@@ -86,9 +89,17 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing
             continue
         if isinstance(pan_seg, str):
             break
-        rle_seg = pan_seg_to_rle_seg(
-            np.asarray(pan_seg), labels, label_divisor, thing_list, force_connected=True
-        )
+        if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
+            _, (values, rows, cs, ce), width = pan_seg
+            rle_seg = runs_to_rle_seg(
+                values, rows, cs, ce, width,
+                labels, label_divisor, thing_list, force_connected=True,
+            )
+        else:
+            rle_seg = pan_seg_to_rle_seg(
+                np.asarray(pan_seg), labels, label_divisor, thing_list,
+                force_connected=True,
+            )
         rle_seg = apply_matchers(rle_seg, matchers)
         rle_stack.append(rle_seg)
     return rle_stack

@@ -23,7 +23,12 @@ from empanada_tpu.core.labeling import (
     runs_to_regions,
 )
 
-__all__ = ["pan_seg_to_rle_seg", "rle_seg_to_pan_seg", "unpack_rle_attrs"]
+__all__ = [
+    "pan_seg_to_rle_seg",
+    "runs_to_rle_seg",
+    "rle_seg_to_pan_seg",
+    "unpack_rle_attrs",
+]
 
 
 def pan_seg_to_rle_seg(
@@ -39,9 +44,28 @@ def pan_seg_to_rle_seg(
     relabeled as connected components (8-connectivity, components numbered
     from ``class_id * label_divisor + 1`` in scanline order).
     """
-    h, w = pan_seg.shape
     values, rows, cs, ce = extract_runs(pan_seg)
+    return runs_to_rle_seg(
+        values, rows, cs, ce, pan_seg.shape[1],
+        labels, label_divisor, thing_list, force_connected,
+    )
 
+
+def runs_to_rle_seg(
+    values: np.ndarray,
+    rows: np.ndarray,
+    cs: np.ndarray,
+    ce: np.ndarray,
+    width: int,
+    labels,
+    label_divisor: int,
+    thing_list,
+    force_connected: bool = True,
+) -> dict:
+    """pan_seg_to_rle_seg on pre-extracted runs (the device-compaction path:
+    ``ops.postprocess.encode_runs_packed`` + ``core.decode_runs_packed``
+    produce these directly, so the dense map never crosses the link)."""
+    w = width
     rle_seg = {}
     for label in labels:
         min_id = label * label_divisor

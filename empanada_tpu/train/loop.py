@@ -166,10 +166,39 @@ def main(config: dict, model_and_state=None):
     norms = dataset_cfg["norms"]
     num_classes = len(dataset_cfg["labels"])
 
+    # ----- mesh (data-parallel multi-chip training) -------------------------
+    # reference analog: DistributedWeightedSampler + DDP
+    # (/root/reference/empanada/data/utils/sampler.py:10) — here ONE jitted
+    # step whose batch axis is sharded over the mesh; XLA averages gradients
+    multichip = bool(train_cfg.get("multichip", False))
+    mesh = data_shard = repl = None
+    if multichip:
+        from empanada_tpu.parallel.mesh import (
+            create_mesh, data_sharding, replicated,
+        )
+
+        mesh = create_mesh()
+        n_dev = int(mesh.devices.size)
+
     # ----- data ------------------------------------------------------------
     dataset = _build_dataset(config, norms)
     batch_size = train_cfg.get("batch_size", 16)
-    loader = WeightedBatchLoader(dataset, batch_size, seed=config.get("seed", 0))
+    if multichip:
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the "
+                f"{n_dev}-device mesh"
+            )
+        data_shard = data_sharding(mesh)
+        repl = replicated(mesh)
+        # multi-host: each process draws a disjoint slice of the sample
+        # stream (per-host batch_size); single-host process_count() == 1
+        loader = WeightedBatchLoader(
+            dataset, batch_size, seed=config.get("seed", 0),
+            shard=jax.process_index(), num_shards=jax.process_count(),
+        )
+    else:
+        loader = WeightedBatchLoader(dataset, batch_size, seed=config.get("seed", 0))
     steps_per_epoch = max(1, len(loader))
     epochs = train_cfg.get("epochs", train_cfg.get("schedule_params", {}).get("epochs", 1))
     total_steps = steps_per_epoch * epochs
@@ -214,6 +243,9 @@ def main(config: dict, model_and_state=None):
     else:
         model, state = model_and_state
 
+    if multichip:
+        state = jax.device_put(state, repl)
+
     # ----- loss + metrics ---------------------------------------------------
     criterion_cls = LOSS_REGISTRY[train_cfg.get("criterion", "PanopticLoss")]
     criterion = criterion_cls(**train_cfg.get("criterion_params", {}))
@@ -241,6 +273,8 @@ def main(config: dict, model_and_state=None):
         t_epoch = time.time()
         for batch in loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if multichip:
+                batch = jax.device_put(batch, data_shard)
             state, aux = train_step(state, batch, rng)
             step_count += 1
             if step_count % print_freq == 0:

@@ -328,3 +328,50 @@ def test_labels_count_and_filter(tmp_path, capsys):
           "-o", str(tmp_path / "nb.npy")])
     nb = np.load(tmp_path / "nb.npy")
     assert 2001 not in nb and 1001 in nb
+
+
+def test_train_cli_multichip(tmp_path):
+    """`train --multichip` shards the batch over the virtual 8-device mesh."""
+    from PIL import Image
+
+    d = tmp_path / "train" / "src"
+    (d / "images").mkdir(parents=True)
+    (d / "masks").mkdir(parents=True)
+    for i in range(8):
+        img = make_blob_image((64, 64), n_blobs=3, seed=i)
+        mask = (img < 100).astype(np.uint16)
+        Image.fromarray(img).save(d / "images" / f"{i:03d}.png")
+        Image.fromarray(mask).save(d / "masks" / f"{i:03d}.png")
+
+    config = {
+        "model_name": "cli_mc",
+        "seed": 0,
+        "MODEL": {
+            "arch": "PanopticDeepLab", "encoder": "resnet18",
+            "decoder_channels": 32, "low_level_stages": [1],
+            "low_level_channels_project": [16], "ins_decoder": False,
+        },
+        "DATASET": {
+            "class_names": {1: "blob"}, "labels": [1], "thing_list": [1],
+            "norms": {"mean": 0.6, "std": 0.2},
+        },
+        "TRAIN": {
+            "train_dir": str(tmp_path / "train"),
+            "model_dir": str(tmp_path / "out"),
+            "save_freq": 1, "amp": False, "epochs": 1, "batch_size": 8,
+            "print_freq": 100,
+            "criterion": "PanopticLoss",
+            "criterion_params": {"top_k_percent": 0.2},
+            "schedule_params": {"max_lr": 3e-3, "pct_start": 0.3},
+            "optimizer_params": {"weight_decay": 0.01},
+            "dataset_class": "SingleClassInstanceDataset",
+            "dataset_params": {"weight_gamma": 0.3},
+            "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+            "metrics": [],
+        },
+    }
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.dump(config))
+
+    main(["train", str(cfg_path), "--multichip"])
+    assert os.path.exists(tmp_path / "out" / "cli_mc_checkpoint.msgpack")

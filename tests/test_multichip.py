@@ -128,3 +128,54 @@ class TestStreamedEquivalence:
         _, mc_trackers = eng.infer_on_axis(vol, "xy")
 
         assert _tracker_sets(ref_trackers) == _tracker_sets(mc_trackers)
+
+
+class TestRunCompaction:
+    """Device run-length compaction round-trip (encode_runs_packed /
+    decode_runs_packed) — the packed int16 path that replaces dense int32
+    device->host transfers."""
+
+    def test_roundtrip_exact(self):
+        from empanada_tpu.ops.postprocess import encode_runs_packed
+        from empanada_tpu.core.labeling import decode_runs_packed, extract_runs
+
+        rng = np.random.default_rng(0)
+        pan = np.zeros((2, 24, 40), np.int32)
+        pan[0, 2:10, 3:17] = 1001
+        pan[0, 4:8, 20:33] = 1002
+        pan[0, 12:20, 1:39] = 1       # stuff
+        pan[1] = rng.integers(0, 3, (24, 40)) * 1001  # many short runs
+
+        packed = np.asarray(encode_runs_packed(jnp.asarray(pan), max_runs=20))
+        for b in range(2):
+            decoded = decode_runs_packed(packed[b], width=40)
+            want = extract_runs(pan[b])
+            if decoded is None:
+                # overflow must be flagged, not silently wrong
+                counts = packed[b][:, -1]
+                assert counts.max() > 20
+                continue
+            for got, exp in zip(decoded, want):
+                np.testing.assert_array_equal(got, exp)
+
+    def test_overflow_flagged(self):
+        from empanada_tpu.ops.postprocess import encode_runs_packed
+        from empanada_tpu.core.labeling import decode_runs_packed
+
+        pan = np.tile(np.array([0, 1], np.int32), 32)[None, None, :]  # 64 runs
+        packed = np.asarray(encode_runs_packed(jnp.asarray(pan), max_runs=8))
+        assert decode_runs_packed(packed[0], width=64) is None
+
+    def test_large_ids_roundtrip(self):
+        """ids above int16 range but below 65536 survive the packing."""
+        from empanada_tpu.ops.postprocess import encode_runs_packed
+        from empanada_tpu.core.labeling import decode_runs_packed, extract_runs
+
+        pan = np.zeros((1, 4, 16), np.int32)
+        pan[0, 1, 2:9] = 40001
+        pan[0, 2, 0:16] = 65535
+        packed = np.asarray(encode_runs_packed(jnp.asarray(pan), max_runs=8))
+        decoded = decode_runs_packed(packed[0], width=16)
+        want = extract_runs(pan[0])
+        for got, exp in zip(decoded, want):
+            np.testing.assert_array_equal(got, exp)

@@ -178,3 +178,63 @@ class TestEndToEndTraining:
         assert os.path.exists(ckpt)
         restored = T.load_checkpoint(ckpt, state)
         assert int(restored.step) == int(state.step)
+
+
+class TestMultichipTraining:
+    """Data-parallel training through the user surface (TRAIN.multichip):
+    batch axis sharded over the 8-device CPU mesh — the reference only
+    ships a DistributedWeightedSampler without wiring
+    (/root/reference/empanada/data/utils/sampler.py:10)."""
+
+    def _config(self, synthetic_dataset_dir, tmp_path, multichip):
+        return {
+            "model_name": f"mc_{int(multichip)}",
+            "seed": 0,
+            "MODEL": {
+                "arch": "PanopticDeepLab", "encoder": "resnet18",
+                "decoder_channels": 32, "low_level_stages": [1],
+                "low_level_channels_project": [16], "ins_decoder": False,
+            },
+            "DATASET": {
+                "class_names": {1: "blob"}, "labels": [1], "thing_list": [1],
+                "norms": {"mean": 0.6, "std": 0.2},
+            },
+            "TRAIN": {
+                "train_dir": os.path.join(synthetic_dataset_dir, "train"),
+                "model_dir": str(tmp_path),
+                "save_freq": 100, "amp": False, "epochs": 2, "batch_size": 8,
+                "print_freq": 1000, "multichip": multichip,
+                "criterion": "PanopticLoss",
+                "criterion_params": {"top_k_percent": 0.2},
+                "schedule_params": {"max_lr": 1e-3, "pct_start": 0.3},
+                "optimizer_params": {"weight_decay": 0.01},
+                "dataset_class": "SingleClassInstanceDataset",
+                "dataset_params": {"weight_gamma": 0.3},
+                "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+                "metrics": [],
+            },
+        }
+
+    def test_matches_single_device_trajectory(self, synthetic_dataset_dir, tmp_path):
+        import jax
+
+        assert len(jax.devices()) == 8  # conftest virtual mesh
+        _, state_1 = T.main(self._config(synthetic_dataset_dir, tmp_path / "a", False))
+        _, state_8 = T.main(self._config(synthetic_dataset_dir, tmp_path / "b", True))
+
+        # same seed + same sample stream -> parameter trajectories agree up
+        # to cross-device reduction order (observed drift over 30 AdamW
+        # steps: ~1e-3 absolute on near-zero params; a wiring bug — wrong
+        # sharding, skipped shards — produces O(1e-1) divergence)
+        flat1 = jax.tree.leaves(state_1.params)
+        flat8 = jax.tree.leaves(state_8.params)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_batch_not_divisible_raises(self, synthetic_dataset_dir, tmp_path):
+        cfg = self._config(synthetic_dataset_dir, tmp_path, True)
+        cfg["TRAIN"]["batch_size"] = 3
+        with pytest.raises(ValueError, match="divisible"):
+            T.main(cfg)
