@@ -172,6 +172,9 @@ class Engine2d:
         tile_size: int = 0,
         max_centers: int = 256,
         shape_buckets: bool = False,
+        spatial_shard: bool = False,
+        spatial_halo: int = 128,
+        spatial_mesh=None,
         model_and_variables=None,
         **kwargs,
     ):
@@ -189,6 +192,28 @@ class Engine2d:
         self.inference_scale = inference_scale
         self.fine_boundaries = fine_boundaries
         self.tile_size = tile_size
+
+        # Seam-free big-slice path: row-shard the slice over the device mesh
+        # with halo exchange instead of the serial tile loop (the TPU-native
+        # replacement for merge_objects_from_tiles,
+        # /root/reference/empanada/consensus.py:526)
+        self.spatial_engine = None
+        if spatial_shard:
+            from empanada_tpu.parallel.spatial import SpatialEngine2d
+
+            self.spatial_engine = SpatialEngine2d(
+                model, variables,
+                thing_list=[] if semantic_only else model_config["thing_list"],
+                mesh=spatial_mesh,
+                halo=spatial_halo,
+                label_divisor=label_divisor,
+                nms_threshold=nms_threshold,
+                nms_kernel=nms_kernel,
+                confidence_thr=confidence_thr,
+                padding_factor=self.padding_factor,
+                coarse_boundaries=not fine_boundaries,
+                max_centers=max_centers,
+            )
 
         thing_list = [] if semantic_only else self.thing_list
 
@@ -249,6 +274,22 @@ class Engine2d:
         return pan_seg
 
     def infer(self, image: np.ndarray) -> np.ndarray:
+        if self.spatial_engine is not None:
+            size = image.shape
+            image = resize_by_factor(image, self.inference_scale)
+            prep = self.preprocessor(image)["image"][0]  # (H, W) float
+            pan_seg = self.spatial_engine(prep)
+            # scale > 1: nearest upsample of the low-res panoptic map (the
+            # render ladder's extra PointRend steps are not re-run here)
+            if self.inference_scale > 1:
+                pan_seg = np.asarray(
+                    np.kron(pan_seg, np.ones(
+                        (self.inference_scale, self.inference_scale),
+                        dtype=pan_seg.dtype,
+                    ))
+                )[: size[0], : size[1]]
+            return self.force_connected(pan_seg.astype(np.int64))
+
         if self.tile_size > 0 and any(s > self.tile_size for s in image.shape):
             tiler = Tiler(
                 image.shape,
@@ -314,6 +355,8 @@ class Engine3d:
         fill_holes_in_segmentation: bool = False,
         max_centers: int = 256,
         shape_buckets: bool = False,
+        merge_iou_thr: float = 0.25,
+        merge_ioa_thr: float = 0.25,
         model_and_variables=None,
         **kwargs,
     ):
@@ -353,8 +396,10 @@ class Engine3d:
         self.preprocessor = Preprocessor(**model_config["norms"])
 
         self.axes = {"xy": 0, "xz": 1, "yz": 2}
-        self.merge_iou_thr = 0.25
-        self.merge_ioa_thr = 0.25
+        # per-engine matcher thresholds (reference exposes these,
+        # empanada_napari/inference.py:340-345)
+        self.merge_iou_thr = float(merge_iou_thr)
+        self.merge_ioa_thr = float(merge_ioa_thr)
         self.force_connected = force_connected
         self.min_size = min_size
         self.min_extent = min_extent

@@ -102,6 +102,8 @@ def cmd_infer2d(args):
         fine_boundaries=args.fine_boundaries,
         tile_size=args.tile_size,
         shape_buckets=args.shape_buckets,
+        spatial_shard=args.spatial_shard,
+        spatial_halo=args.spatial_halo,
     )
     image = np.asarray(_load_array(args.image))
 
@@ -323,6 +325,10 @@ def build_parser():
     sp.add_argument("image")
     sp.add_argument("-o", "--output", default="pan_seg.npy")
     sp.add_argument("--tile-size", type=int, default=0, dest="tile_size")
+    sp.add_argument("--spatial-shard", action="store_true", dest="spatial_shard",
+                    help="row-shard the slice over the device mesh with halo "
+                         "exchange (seam-free replacement for the tile loop)")
+    sp.add_argument("--spatial-halo", type=int, default=128, dest="spatial_halo")
     sp.add_argument("--roi", default=None,
                     help="confine inference to a window: y1:y2,x1:x2")
     sp.add_argument("--roi-mask", default=None, dest="roi_mask",

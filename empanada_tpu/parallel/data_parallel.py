@@ -79,6 +79,8 @@ class MultiChipEngine3d:
         compute_dtype=jnp.float32,
         transfer_compaction: bool = True,
         max_runs_per_row: Optional[int] = None,
+        merge_iou_thr: float = 0.25,
+        merge_ioa_thr: float = 0.25,
         model_and_variables=None,
         **kwargs,
     ):
@@ -113,8 +115,10 @@ class MultiChipEngine3d:
         self.mid = (median_kernel_size - 1) // 2
         self.min_size = min_size
         self.min_extent = min_extent
-        self.merge_iou_thr = 0.25
-        self.merge_ioa_thr = 0.25
+        # per-engine matcher thresholds (reference exposes these,
+        # empanada_napari/inference.py:340-345)
+        self.merge_iou_thr = float(merge_iou_thr)
+        self.merge_ioa_thr = float(merge_ioa_thr)
         self.compute_dtype = compute_dtype
 
         self.preprocessor = Preprocessor(**model_config["norms"])
@@ -136,15 +140,26 @@ class MultiChipEngine3d:
     # ------------------------------------------------------------------
     def _build_jits(self):
         model = self.model
+        mean = float(self.preprocessor.mean)
+        std = float(self.preprocessor.std)
 
         @partial(
             jax.jit,
-            static_argnames=("render_steps",),
+            static_argnames=("render_steps", "normalize"),
             out_shardings=None,
         )
-        def forward(variables, images, render_steps=2):
+        def forward(variables, images, max_value, render_steps=2,
+                    normalize=False):
+            if normalize:
+                # normalization on device so raw uint8 crosses the link
+                # (4x less upload than f32; reference normalizes on host,
+                # empanada_napari/utils.py:170)
+                x = images.astype(self.compute_dtype)
+                x = (x / max_value - mean) / std
+            else:
+                x = images.astype(self.compute_dtype)
             out = model.apply(
-                variables, images, train=False,
+                variables, x, train=False,
                 render_steps=render_steps,
                 interpolate_ins=not self.coarse_boundaries,
             )
@@ -216,7 +231,9 @@ class MultiChipEngine3d:
         b = self.batch_size
         batch_imgs, batch_idx, size = [], [], None
         for item in dataset:
-            img = item["image"][0]  # (H, W) normalized
+            img = item["image"]
+            if img.ndim == 3:
+                img = img[0]  # (H, W), host-normalized
             size = item["size"]
             img = np.pad(
                 img,
@@ -242,7 +259,17 @@ class MultiChipEngine3d:
         n_slices = volume.shape[axis]
         render_steps = int(2 + math.log2(self.inference_scale))
 
-        dataset = VolumeDataset(volume, axis, self.preprocessor, scale=self.inference_scale)
+        # integer volumes: ship raw slices and normalize on device (4x less
+        # upload); float inputs are rejected like the reference Preprocessor
+        dev_norm = np.issubdtype(np.dtype(volume.dtype), np.integer)
+        if dev_norm:
+            max_value = float(np.iinfo(volume.dtype).max)
+            dataset = VolumeDataset(volume, axis, None, scale=self.inference_scale)
+        else:
+            max_value = 1.0
+            dataset = VolumeDataset(
+                volume, axis, self.preprocessor, scale=self.inference_scale
+            )
 
         trackers = [
             InstanceTracker(label, self.label_divisor, volume.shape, axis_name)
@@ -276,11 +303,12 @@ class MultiChipEngine3d:
             nonlocal fwd_done, size
             while fwd_done < min(upto, n_batches - 1):
                 _, images, size = next(batch_gen)
-                images = jax.device_put(
-                    jnp.asarray(images, dtype=self.compute_dtype), self._shard
-                )
+                if not dev_norm:
+                    images = images.astype(np.float32)
+                images = jax.device_put(jnp.asarray(images), self._shard)
                 sem, ctr, off = self._forward(
-                    self.variables, images, render_steps=render_steps
+                    self.variables, images, jnp.float32(max_value),
+                    render_steps=render_steps, normalize=dev_norm,
                 )
                 fwd_done += 1
                 sem_buf[fwd_done] = sem

@@ -42,7 +42,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = [
     "spatial_pool_axis",
@@ -159,7 +159,7 @@ def spatial_sharded_forward(
         mesh=mesh,
         in_specs=P(None, axis_name, None, None),
         out_specs=P(None, axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(image)
 

@@ -39,17 +39,6 @@ __all__ = [
 ]
 
 
-def average_edge_between_clusters(G, cluster1, cluster2, key="iou"):
-    """Reference formulation (consensus.py:35) — kept for documentation;
-    create_graph_of_clusters computes the same averages in one edge pass."""
-    weights = [
-        G[n1][n2][key] if G.has_edge(n1, n2) else 0
-        for n1 in cluster1
-        for n2 in cluster2
-    ]
-    return sum(weights) / len(weights)
-
-
 def create_graph_of_clusters(G, cluster_iou_thr):
     """Group nodes whose IoU exceeds cluster_iou_thr; edges between groups
     carry the average iou/overlap of the underlying object graph.

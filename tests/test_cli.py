@@ -375,3 +375,16 @@ def test_train_cli_multichip(tmp_path):
 
     main(["train", str(cfg_path), "--multichip"])
     assert os.path.exists(tmp_path / "out" / "cli_mc_checkpoint.msgpack")
+
+
+def test_infer2d_spatial_shard(tmp_path, tiny_config_yaml):
+    """--spatial-shard routes the slice through the halo-sharded engine."""
+    img = make_blob_image((128, 128), n_blobs=4, seed=3)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, img)
+    out = tmp_path / "pan.npy"
+
+    main(["infer2d", str(img_path), "-o", str(out),
+          "--model", tiny_config_yaml, "--spatial-shard", "--spatial-halo", "16"])
+    pan = np.load(out)
+    assert pan.shape == img.shape

@@ -345,3 +345,4 @@ class TestCrossOrtho:
                 flat[s : s + r] = new_id
 
         assert_agreement(ref_vol, our_vol)
+

@@ -31,9 +31,8 @@ def pdl_model():
 
 class TestHaloExchange:
     def test_halo_rows_match_neighbors(self):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
-        from functools import partial
 
         mesh = create_mesh(4, axis_name="spatial")
         x = jnp.arange(32, dtype=jnp.float32).reshape(1, 32, 1, 1)
@@ -41,7 +40,7 @@ class TestHaloExchange:
         fn = shard_map(
             lambda b: exchange_halo_rows(b, 2, "spatial"),
             mesh=mesh, in_specs=P(None, "spatial", None, None),
-            out_specs=P(None, "spatial", None, None), check_rep=False,
+            out_specs=P(None, "spatial", None, None), check_vma=False,
         )
         out = np.asarray(fn(x))[0, :, 0, 0]
         # each 8-row block becomes 12 rows: [2 halo][8 rows][2 halo]
@@ -118,3 +117,114 @@ class TestSpatialEngine:
         pan = engine(img)
         assert pan.shape == img.shape
         assert pan.dtype == np.int32
+
+
+@pytest.fixture(scope="module")
+def trained_blob_model(tmp_path_factory):
+    """A briefly-TRAINED PanopticDeepLab (dark disks on bright noise) —
+    confident semantics and sharp center peaks, so instance decomposition
+    is stable and an instance-level sharding gate is meaningful.  Random or
+    hand-calibrated weights hover at the NMS/confidence thresholds and flip
+    instances chaotically."""
+    import os
+    from PIL import Image
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import make_blob_example
+
+    import empanada_tpu.train as T
+
+    root = tmp_path_factory.mktemp("spatial_blobs")
+    rng = np.random.default_rng(17)
+    d = root / "train" / "src"
+    (d / "images").mkdir(parents=True)
+    (d / "masks").mkdir(parents=True)
+    for i in range(12):
+        img, mask = make_blob_example(rng)
+        Image.fromarray(img).save(d / "images" / f"{i:03d}.png")
+        Image.fromarray(mask.astype(np.uint16)).save(d / "masks" / f"{i:03d}.png")
+
+    config = {
+        "model_name": "spatial_gate", "seed": 0,
+        "MODEL": {
+            "arch": "PanopticDeepLab", "encoder": "resnet18",
+            "decoder_channels": 32, "low_level_stages": [1],
+            "low_level_channels_project": [16], "ins_decoder": True,
+        },
+        "DATASET": {
+            "class_names": {1: "blob"}, "labels": [1], "thing_list": [1],
+            "norms": {"mean": 0.6, "std": 0.2},
+        },
+        "TRAIN": {
+            "train_dir": str(root / "train"), "model_dir": str(root / "out"),
+            "save_freq": 100, "amp": False, "epochs": 30, "batch_size": 4,
+            "print_freq": 1000, "criterion": "PanopticLoss",
+            "criterion_params": {"top_k_percent": 0.2},
+            "schedule_params": {"max_lr": 3e-3, "pct_start": 0.3},
+            "optimizer_params": {"weight_decay": 0.01},
+            "dataset_class": "SingleClassInstanceDataset",
+            "dataset_params": {"weight_gamma": 0.3},
+            "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+            "metrics": [],
+        },
+    }
+    model, state = T.main(config)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables
+
+
+def make_disk_image(size=512, n_disks=30, seed=5):
+    """Big test slice drawn from the SAME distribution the gate model was
+    trained on (dark r=4..9 disks on bright noise)."""
+    rng = np.random.default_rng(seed)
+    img = rng.normal(0.8, 0.05, (size, size))
+    yy, xx = np.mgrid[0:size, 0:size]
+    for _ in range(n_disks):
+        cy, cx = rng.integers(10, size - 10, 2)
+        r = rng.integers(4, 9)
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
+        img[blob] = rng.normal(0.25, 0.05)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+class TestSpatialUserSurface:
+    """Engine2d(spatial_shard=True): the flagship TPU-native path is
+    reachable from the api layer and its INSTANCES agree with the unsharded
+    engine — the quantitative analog of the reference's tile-merge behavior
+    (/root/reference/empanada/consensus.py:526)."""
+
+    def test_engine2d_instance_f1_vs_unsharded(self, trained_blob_model):
+        import empanada_tpu.api as api
+        from empanada_tpu.curation.accuracy import compute_instance_metrics
+
+        model, variables = trained_blob_model
+        cfg = {
+            "class_names": {1: "blob"}, "labels": [1], "thing_list": [1],
+            "model": "x", "padding_factor": 16, "norms": {"mean": 0.6, "std": 0.2},
+        }
+        image = make_disk_image()
+
+        plain = api.Engine2d(
+            cfg, nms_kernel=3, confidence_thr=0.5, max_centers=256,
+            model_and_variables=(model, variables),
+        )
+        ref_pan = plain.infer(image)
+
+        sharded = api.Engine2d(
+            cfg, nms_kernel=3, confidence_thr=0.5, max_centers=256,
+            spatial_shard=True, spatial_halo=128,
+            spatial_mesh=create_mesh(4, axis_name="spatial"),
+            model_and_variables=(model, variables),
+        )
+        span = sharded.infer(image)
+
+        ref_ins = np.where((ref_pan >= 1000) & (ref_pan < 2000), ref_pan, 0)
+        sp_ins = np.where((span >= 1000) & (span < 2000), span, 0)
+        assert (ref_ins > 0).any(), "unsharded engine found nothing (vacuous)"
+        n_ref = len(np.unique(ref_ins[ref_ins > 0]))
+        assert n_ref >= 10, f"too few instances ({n_ref}) for a meaningful gate"
+        m = compute_instance_metrics(ref_ins, sp_ins, iou_thr=0.5)
+        assert m["f1"] >= 0.95, m
+        # boundaries shift sub-pixel under the documented align_corners
+        # approximation; identity must be exact, shapes near-exact
+        assert m["mean_matched_iou"] >= 0.80, m
