@@ -169,9 +169,13 @@ def intersection_from_ranges(ranges_a: np.ndarray, ranges_b: np.ndarray) -> int:
 
     from empanada_tpu.core import native
 
-    if native.available():
-        # linear two-pointer scan (csrc range_intersection); the numpy
-        # event sweep below costs ~0.5 ms/call and dominated consensus
+    def _sorted_by_start(r):
+        return len(r) < 2 or bool(np.all(r[1:, 0] >= r[:-1, 0]))
+
+    if native.available() and _sorted_by_start(ranges_a) and _sorted_by_start(ranges_b):
+        # linear two-pointer scan (csrc range_intersection) — REQUIRES both
+        # sets sorted by start; out-of-contract input falls through to the
+        # order-tolerant event sweep below (same guard shape as merge_rles)
         return native.range_intersection(ranges_a, ranges_b)
     covered = coverage_ranges([ranges_a, ranges_b], 2)
     if len(covered) == 0:

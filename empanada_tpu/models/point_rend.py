@@ -157,6 +157,14 @@ class PointRendSemSegHead(nn.Module):
     fused_render: str = "auto"
 
     def setup(self):
+        # fail fast on misconfiguration: the eval-only check in
+        # _fused_step_ok would otherwise accept a typo silently through
+        # construction and training
+        if self.fused_render not in ("never", "auto", "always", "interpret"):
+            raise ValueError(
+                f"fused_render={self.fused_render!r}: expected 'auto', "
+                "'never', 'always', or 'interpret'"
+            )
         self.point_head = StandardPointHead(
             self.num_classes, self.fc_dim, self.num_fc, dtype=self.dtype
         )

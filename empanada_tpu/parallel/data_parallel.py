@@ -314,6 +314,31 @@ class MultiChipEngine3d:
                 sem_buf[fwd_done] = sem
                 io_buf[fwd_done] = (ctr, off)
 
+        def drain(pending):
+            """Fetch + decode one completed postprocess batch into the
+            matcher worker.  Called one iteration late so the (remote)
+            device computes batch j+1 while batch j's packed buffer is in
+            flight."""
+            pans_dev, packed, n_keep, (h, w) = pending
+            if packed is not None:
+                # one small packed fetch per batch; dense (already cropped
+                # in-jit) only on overflow
+                packed_np = np.asarray(packed)[:n_keep]
+                pans_np = None
+                for bi, row_buf in enumerate(packed_np):
+                    decoded = decode_runs_packed(row_buf, w)
+                    if decoded is None:
+                        if pans_np is None:
+                            pans_np = np.asarray(pans_dev)[:n_keep]
+                        worker.put(pans_np[bi].astype(np.int64))
+                    else:
+                        worker.put(("runs", decoded, w))
+            else:
+                pans = np.asarray(pans_dev)[:n_keep, :h, :w]
+                for pan in pans:
+                    worker.put(pan.astype(np.int64))
+
+        pending = None
         for j in range(n_batches):
             ensure_forwarded(j + K)
             base = j - K
@@ -348,22 +373,11 @@ class MultiChipEngine3d:
                 upsampling=self.inference_scale,
                 crop=(h, w), max_runs=max_runs,
             )
-            if packed is not None:
-                # one small packed fetch per batch; dense only on overflow
-                packed_np = np.asarray(packed)[: stop - start]
-                pans_np = None
-                for bi, row_buf in enumerate(packed_np):
-                    decoded = decode_runs_packed(row_buf, w)
-                    if decoded is None:
-                        if pans_np is None:
-                            pans_np = np.asarray(pans_dev)[: stop - start]
-                        worker.put(pans_np[bi].astype(np.int64))
-                    else:
-                        worker.put(("runs", decoded, w))
-            else:
-                pans = np.asarray(pans_dev)[: stop - start, :h, :w]
-                for pan in pans:
-                    worker.put(pan.astype(np.int64))
+            # drain the PREVIOUS batch while this one computes (the matcher
+            # must see slices in order, so drain before queueing this one)
+            if pending is not None:
+                drain(pending)
+            pending = (pans_dev, packed, stop - start, (h, w))
 
             self._max_resident = max(self._max_resident, len(sem_buf))
             # drop sem batches that no future window can reach
@@ -371,6 +385,8 @@ class MultiChipEngine3d:
                 if k < j + 1 - K:
                     del sem_buf[k]
 
+        if pending is not None:
+            drain(pending)
         rle_stack = worker.finish()
 
         # phase C: backward matching + tracking + filters (host)

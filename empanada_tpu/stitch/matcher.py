@@ -94,7 +94,9 @@ def _merge_groups(groups: dict) -> dict:
             "starts": seg[:, 0].copy(),
             "runs": (seg[:, 1] - seg[:, 0]).copy(),
         }
-    return out
+    # preserve the input's first-occurrence insertion order — downstream
+    # consumers paint overlapping instances in dict iteration order
+    return {lbl: out[lbl] for lbl in groups}
 
 
 def _bounding_box(boxes: np.ndarray) -> tuple:

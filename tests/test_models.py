@@ -154,3 +154,33 @@ def test_s2d_stride2_conv_matches_direct_conv():
         assert fast.shape == direct.shape
         np.testing.assert_allclose(np.asarray(fast), np.asarray(direct),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_convbnact_s2d_dispatch_cpu(monkeypatch):
+    """The ConvBnAct s2d-stem DISPATCH branch (incl. the init-time
+    conv.variables read pattern) exercised on CPU by forcing
+    s2d_stem_supported — init + apply must match the direct-conv path
+    bit-for-bit given the same params (ADVICE r1: the branch is gated on
+    jax.default_backend() == 'tpu' and had no CI coverage)."""
+    import jax.numpy as jnp
+    from empanada_tpu.models import blocks as blk
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 48, 1)), jnp.float32)
+
+    direct_mod = blk.ConvBnAct(nout=32, kernel_size=7, stride=2, s2d_stem=False)
+    variables = direct_mod.init(jax.random.key(0), x, train=False)
+    want = direct_mod.apply(variables, x, train=False)
+
+    monkeypatch.setattr(blk, "s2d_stem_supported", lambda x, dtype: True)
+    s2d_mod = blk.ConvBnAct(nout=32, kernel_size=7, stride=2, s2d_stem=True)
+    v2 = s2d_mod.init(jax.random.key(0), x, train=False)
+    # identical parameter structure (the init-time 16x16 probe must create
+    # the same conv params as a direct init)
+    assert jax.tree.structure(v2) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(v2), jax.tree.leaves(variables)):
+        assert a.shape == b.shape
+    got = s2d_mod.apply(variables, x, train=False)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

@@ -187,3 +187,19 @@ class TestTopKMaskIndices:
         x = jnp.asarray(np.random.default_rng(0).random((2, 128)), jnp.float32)
         got = np.asarray(top_k_mask_indices(x, 128))
         assert np.array_equal(got, np.tile(np.arange(128), (2, 1)))
+
+
+def test_fused_render_typo_fails_at_init():
+    """Misconfigured fused_render must fail at construction, not first eval
+    (ADVICE r1)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from empanada_tpu.models.point_rend import PointRendSemSegHead
+
+    head = PointRendSemSegHead(num_classes=1, fc_dim=16, fused_render="alway")
+    with pytest.raises(ValueError, match="fused_render"):
+        head.init(
+            jax.random.key(0),
+            jnp.zeros((1, 8, 8, 1)), jnp.zeros((1, 8, 8, 16)), train=False,
+        )
