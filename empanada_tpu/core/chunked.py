@@ -40,6 +40,10 @@ def _dtype_str(dtype: np.dtype) -> str:
     return "<" + dtype.str[1:]
 
 
+class UnsupportedStoreError(RuntimeError):
+    """Store metadata the built-in (uncompressed-v2) reader can't handle."""
+
+
 class ChunkedArray:
     """N-d chunked array backed by a zarr-v2 compatible directory."""
 
@@ -56,7 +60,12 @@ class ChunkedArray:
     def open(cls, path: str) -> "ChunkedArray":
         with open(os.path.join(path, ".zarray")) as f:
             meta = json.load(f)
-        assert meta.get("compressor") is None, "only uncompressed stores supported"
+        if meta.get("compressor") is not None:
+            raise UnsupportedStoreError(
+                f"{path}: compressed zarr store (compressor="
+                f"{meta['compressor']!r}); the built-in reader handles "
+                "uncompressed v2 only"
+            )
         dtype = _DTYPE_MAP.get(meta["dtype"], None) or np.dtype(meta["dtype"])
         return cls(path, meta["shape"], meta["chunks"], dtype, meta.get("fill_value", 0))
 
@@ -180,8 +189,24 @@ class ChunkedArray:
         return full.astype(dtype) if dtype is not None else full
 
 
-def open_chunked(path: str) -> ChunkedArray:
-    return ChunkedArray.open(path)
+def open_chunked(path: str):
+    """Open a zarr-v2 directory store.
+
+    Uncompressed stores use the built-in reader; compressed stores fall back
+    to the real ``zarr`` library when importable (optional dependency — the
+    reference requires it unconditionally, volume_dataset.py:3)."""
+    try:
+        return ChunkedArray.open(path)
+    except UnsupportedStoreError:
+        try:
+            import zarr
+        except ImportError:
+            raise UnsupportedStoreError(
+                f"{path} is a compressed zarr store and the zarr library is "
+                "not installed; `pip install zarr` or re-write the store "
+                "uncompressed"
+            ) from None
+        return zarr.open(path, mode="r+")
 
 
 def create_chunked(path: str, shape, chunks, dtype, fill_value=0) -> ChunkedArray:

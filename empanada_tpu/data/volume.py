@@ -58,7 +58,12 @@ class VolumeDataset:
         return self.array.shape[self.axis]
 
     def __getitem__(self, idx: int) -> dict:
-        image = np.asarray(take(self.array, idx, self.axis))
+        image = take(self.array, idx, self.axis)
+        if hasattr(image, "compute"):
+            # dask arrays materialize per-slice, exactly like the reference
+            # (volume_dataset.py:43-44); dask itself is an optional import
+            image = image.compute()
+        image = np.asarray(image)
         h, w = image.shape
         image = resize_by_factor(image, self.scale)
         assert (image.shape[0] * self.scale) >= h

@@ -66,3 +66,49 @@ class TestChunkedFill:
         arr = create_chunked(str(tmp_path / "e.zarr"), shape, (3, 5, 7), np.int64)
         chunked_fill_instances(arr, instances, processes=3)
         assert np.array_equal(np.asarray(arr), want)
+
+
+class TestOptionalInterop:
+    def test_compressed_store_raises_informative(self, tmp_path):
+        """Compressed zarr metadata -> UnsupportedStoreError naming the fix
+        (real zarr is absent from this environment)."""
+        import json
+        import pytest
+        from empanada_tpu.core.chunked import open_chunked, UnsupportedStoreError
+
+        store = tmp_path / "comp"
+        store.mkdir()
+        (store / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2],
+            "dtype": "<i4", "compressor": {"id": "blosc"},
+            "fill_value": 0, "order": "C", "filters": None,
+        }))
+        with pytest.raises(UnsupportedStoreError):
+            open_chunked(str(store))
+
+    def test_duck_typed_compute_volume(self):
+        """VolumeDataset materializes .compute()-style lazy slices (dask
+        semantics, reference volume_dataset.py:43-44) without dask itself."""
+        import numpy as np
+        from empanada_tpu.data.volume import VolumeDataset
+
+        class LazySlice:
+            def __init__(self, a):
+                self.a = a
+
+            def compute(self):
+                return self.a
+
+        class LazyVolume:
+            def __init__(self, a):
+                self.a = a
+                self.ndim = a.ndim
+                self.shape = a.shape
+
+            def __getitem__(self, sel):
+                return LazySlice(self.a[sel])
+
+        vol = np.random.default_rng(0).integers(0, 255, (4, 8, 8)).astype(np.uint8)
+        ds = VolumeDataset(LazyVolume(vol), axis=0)
+        item = ds[2]
+        np.testing.assert_array_equal(item["image"], vol[2])
