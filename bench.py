@@ -21,6 +21,12 @@ pipeline) -> 68.3 (device-pipeline overlap, one-hot-matmul postprocess) ->
 launch-overhead-cancelled timing; inputs switched to blob-structured like
 the reference's test fixtures — noise is pathological for PointRend).
 
+int8 A/B (--int8, round 2): selective s8xs8 MXU execution for wide 3x3
+encoder convs measures ~2x on isolated stage4 dilated convs
+(benchmarks/profile_int8.py) but only +1.8% end-to-end (75.5 -> 76.9
+Mvox/s on v5e) — the quantize/rescale ops break XLA fusion between convs.
+bf16 stays the default; int8_execution=True is the measured opt-in.
+
 Secondary recorded numbers (not in the JSON line): the full 3D pipeline
 (MultiChipEngine3d on 64x512x512 uint8, incl. host RLE/matching/fill and
 the dev tunnel's host<->device transfer tax) runs at 5.2 Mvox/s end-to-end
@@ -41,7 +47,7 @@ WARMUP = 2
 ITERS = 10
 
 
-def build():
+def build(int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +65,7 @@ def build():
         ins_decoder=True,
         subdivision_num_points=8192,
         dtype=jnp.bfloat16,
+        int8_execution=int8,
     )
     sample = jnp.zeros((1, H, W, 1), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -235,6 +242,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--skip-3d", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="A/B: selective int8 encoder execution "
+                             "(s8xs8 MXU convs for wide 3x3s)")
     args = parser.parse_args()
 
     if args.measure_baseline:
@@ -245,7 +255,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    pipeline_batch, variables = build()
+    pipeline_batch, variables = build(int8=args.int8)
     n_chips = max(1, len(jax.devices()))
 
     rng = np.random.default_rng(0)

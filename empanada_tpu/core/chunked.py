@@ -200,13 +200,19 @@ def open_chunked(path: str):
     except UnsupportedStoreError:
         try:
             import zarr
+
+            # a real zarr always has __version__; import stubs/shims don't
+            if getattr(zarr, "__version__", None) is None:
+                raise ImportError("zarr import is a stub")
         except ImportError:
             raise UnsupportedStoreError(
                 f"{path} is a compressed zarr store and the zarr library is "
                 "not installed; `pip install zarr` or re-write the store "
                 "uncompressed"
             ) from None
-        return zarr.open(path, mode="r+")
+        # read-only: every open_chunked caller is an input path (outputs go
+        # through create_chunked)
+        return zarr.open(path, mode="r")
 
 
 def create_chunked(path: str, shape, chunks, dtype, fill_value=0) -> ChunkedArray:

@@ -59,6 +59,29 @@ def s2d_stem_supported(x, dtype) -> bool:
     )
 
 
+def int8_conv(x, kernel, stride: int, pad: int, dilation: int, dtype):
+    """s8 x s8 -> s32 conv with dynamic per-tensor activation scale and
+    per-output-channel weight scales; weight quantization constant-folds
+    at compile time (kernel is a parameter)."""
+    w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2), keepdims=True) / 127.0
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+
+    a_scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+    ).astype(jnp.int8)
+
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (a_scale.astype(jnp.float32) * w_scale[0, 0, 0].astype(jnp.float32))
+    return (acc.astype(jnp.float32) * scale).astype(dtype)
+
+
 def s2d_stride2_conv(x, kernel, pad: int):
     """Stride-2 kxk conv on few-channel input via space-to-depth(4).
 
@@ -180,6 +203,13 @@ class ConvBnAct(nn.Module):
     # opt-in for stride-2 few-channel stems: exact space-to-depth rewrite
     # (s2d_stride2_conv) instead of the MXU-starved direct conv
     s2d_stem: bool = False
+    # opt-in int8 execution for wide k>=3 convs: dynamic per-tensor
+    # activation quant + per-output-channel int8 weights, s8xs8->s32 on the
+    # MXU (2x bf16 peak on v5e).  Measured (benchmarks/profile_int8.py):
+    # ~2x on stage4 dilated 3x3s, +18% on stage2 3x3s; 1x1s LOSE (quantize
+    # overhead), hence the kernel_size/width gate below.  TPU analog of the
+    # reference's fbgemm int8 (quantization/panoptic_deeplab.py:17-20).
+    int8_execution: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -195,6 +225,13 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )
+        use_int8 = (
+            self.int8_execution
+            and not train
+            and self.kernel_size >= 3
+            and self.groups == 1
+            and x.shape[-1] >= 128
+        )
         if (
             self.s2d_stem
             and self.stride == 2
@@ -206,6 +243,13 @@ class ConvBnAct(nn.Module):
                 conv(x[:, :16, :16])
             kern = conv.variables["params"]["kernel"].astype(self.dtype)
             x = s2d_stride2_conv(x.astype(self.dtype), kern, p)
+        elif use_int8:
+            if self.is_initializing():
+                conv(x[:, : 4 * self.stride, : 4 * self.stride])
+            kern = conv.variables["params"]["kernel"]  # f32 master weights
+            x = int8_conv(
+                x, kern, self.stride, p, self.dilation, self.dtype
+            )
         else:
             x = conv(x)
         x = batch_norm(x, train, self.dtype)

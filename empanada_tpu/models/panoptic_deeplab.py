@@ -30,11 +30,15 @@ from empanada_tpu.ops.interpolate import bilinear_resize
 __all__ = ["PanopticDeepLab", "PanopticDeepLabPR", "PanopticDeepLabBC", "create_encoder"]
 
 
-def create_encoder(name: str, output_stride: int = 32, dtype=jnp.float32):
-    """Returns (encoder_module, stage_widths)."""
+def create_encoder(name: str, output_stride: int = 32, dtype=jnp.float32,
+                   int8_execution: bool = False):
+    """Returns (encoder_module, stage_widths).  ``int8_execution`` enables
+    the selective s8xs8 MXU path for wide 3x3 encoder convs (ResNet family
+    only — the RegNet encoders keep bf16)."""
     if name in resnet_configs:
         cfg = resnet_configs[name]
-        enc = ResNet(output_stride=output_stride, dtype=dtype, name="encoder", **cfg)
+        enc = ResNet(output_stride=output_stride, dtype=dtype,
+                     int8_execution=int8_execution, name="encoder", **cfg)
         return enc, enc.widths
     if name in regnet_configs:
         params = RegNetParams(**regnet_configs[name])
@@ -64,10 +68,14 @@ class PanopticDeepLab(nn.Module):
     ins_decoder: bool = False
     ins_ratio: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    # selective int8 encoder execution (TPU analog of the reference's
+    # fbgemm int8 deploy path); bf16/f32 stays the default
+    int8_execution: bool = False
 
     def setup(self):
         assert self.stage4_stride in (16, 32)
-        enc, widths = create_encoder(self.encoder, self.stage4_stride, self.dtype)
+        enc, widths = create_encoder(self.encoder, self.stage4_stride, self.dtype,
+                                     self.int8_execution)
         self._encoder = enc
         if isinstance(self.aspp_dropout, (tuple, list)):
             sem_p, ins_p = self.aspp_dropout

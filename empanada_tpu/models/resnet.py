@@ -27,14 +27,17 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    int8_execution: bool = False
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = ConvBnAct(self.planes, 3, stride=self.stride, dtype=self.dtype, name="cba1")(x, train)
-        out = ConvBnAct(self.planes, 3, activation=None, dtype=self.dtype, name="cba2")(out, train)
+        out = ConvBnAct(self.planes, 3, stride=self.stride, dtype=self.dtype,
+                        int8_execution=self.int8_execution, name="cba1")(x, train)
+        out = ConvBnAct(self.planes, 3, activation=None, dtype=self.dtype,
+                        int8_execution=self.int8_execution, name="cba2")(out, train)
         if self.downsample:
             identity = ConvBnAct(
                 self.planes, 1, stride=self.stride, activation=None,
@@ -51,6 +54,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dilation: int = 1
     dtype: jnp.dtype = jnp.float32
+    int8_execution: bool = False
 
     expansion = 4
 
@@ -61,7 +65,7 @@ class Bottleneck(nn.Module):
         out = ConvBnAct(width, 1, dtype=self.dtype, name="cba1")(x, train)
         out = ConvBnAct(
             width, 3, stride=self.stride, groups=self.groups, dilation=self.dilation,
-            dtype=self.dtype, name="cba2",
+            dtype=self.dtype, int8_execution=self.int8_execution, name="cba2",
         )(out, train)
         out = ConvBnAct(
             self.planes * self.expansion, 1, activation=None, dtype=self.dtype, name="cba3"
@@ -84,6 +88,7 @@ class ResNet(nn.Module):
     in_channels: int = 1
     output_stride: int = 32
     dtype: jnp.dtype = jnp.float32
+    int8_execution: bool = False
 
     @property
     def widths(self) -> Tuple[int, ...]:
@@ -94,7 +99,7 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         exp = block_cls.expansion
         need_ds = stride != 1 or inplanes != planes * exp
-        kw = dict(dtype=self.dtype)
+        kw = dict(dtype=self.dtype, int8_execution=self.int8_execution)
         if self.block == "bottleneck":
             kw.update(groups=self.groups, base_width=self.width_per_group, dilation=dilation)
         x = block_cls(planes, stride=stride, downsample=need_ds, name=f"{name}_block1", **kw)(x, train)

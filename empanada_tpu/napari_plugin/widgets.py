@@ -73,6 +73,7 @@ def slice_inference_widget():
         downsampling=dict(choices=[1, 2, 4, 8, 16, 32, 64]),
     )
     def widget(
+        viewer: "napari.Viewer",  # noqa: F821
         image_layer: "napari.layers.Image",  # noqa: F821
         model_name: str = "MitoNet_v1",
         downsampling: int = 1,
@@ -100,8 +101,10 @@ def slice_inference_widget():
             spatial_shard=spatial_shard,
         )
         image = np.asarray(image_layer.data)
-        if image.ndim == 3:  # current slice of a stack
-            image = image[0]
+        if image.ndim == 3:
+            # the VIEWER'S current slice (reference parameter-testing
+            # semantics, _slice_inference.py:214), not slice 0
+            image = image[int(viewer.dims.current_step[0])]
         pan = engine.infer(image)
         return (pan, {"name": f"{image_layer.name}_panoptic"}, "labels")
 
@@ -197,7 +200,7 @@ def label_counter_widget():
     ) -> str:
         from empanada_tpu.curation.count import count_labels
 
-        counts = count_labels(np.asarray(labels_layer.data), label_divisor)
+        counts, _ = count_labels(np.asarray(labels_layer.data), label_divisor)
         return "\n".join(f"class {c}: {len(v)} labels" for c, v in counts.items())
 
     return widget
@@ -293,19 +296,25 @@ def filter_small_labels_widget():
     """Reference _filter_small_labels.py:15."""
     magicgui = _magicgui()
 
-    @magicgui(call_button="Filter Labels", mode=dict(choices=["image", "2d", "3d"]))
+    @magicgui(
+        call_button="Filter Labels",
+        mode=dict(choices=["image", "patches", "volume"]),
+        filter=dict(choices=["small", "boundary"]),
+    )
     def widget(
         labels_layer: "napari.layers.Labels",  # noqa: F821
         minimum_area: int = 100,
-        remove_boundary: bool = False,
+        filter: str = "small",
         mode: str = "image",
-    ):
+    ) -> str:
         from empanada_tpu.curation.filters import apply_label_filter
 
-        labels_layer.data = apply_label_filter(
-            np.asarray(labels_layer.data), mode=mode,
-            minimum_area_allowed=minimum_area, remove_boundary=remove_boundary,
+        filtered, n_removed = apply_label_filter(
+            np.asarray(labels_layer.data), mode=mode, filter=filter,
+            minimum_area_allowed=minimum_area,
         )
+        labels_layer.data = filtered
+        return f"removed {n_removed} labels"
 
     return widget
 
@@ -319,12 +328,19 @@ def jump_to_label_widget():
         viewer: "napari.Viewer",  # noqa: F821
         labels_layer: "napari.layers.Labels",  # noqa: F821
         label_id: int = 1,
-    ):
+    ) -> str:
         from empanada_tpu.curation.ops import jump_to_label
 
-        loc = jump_to_label(np.asarray(labels_layer.data), label_id)
-        if loc is not None:
-            viewer.dims.set_point(0, int(loc[0]))
+        try:
+            box = jump_to_label(np.asarray(labels_layer.data), label_id)
+        except KeyError:
+            return f"label {label_id} not found"
+        nd = len(box) // 2
+        center = [(box[i] + box[i + nd]) // 2 for i in range(nd)]
+        if nd == 3:
+            viewer.dims.set_point(0, int(center[0]))
+        viewer.camera.center = tuple(float(c) for c in center[-2:])
+        return f"label {label_id} at {tuple(center)}"
 
     return widget
 
@@ -367,12 +383,17 @@ def pick_patches_widget():
         points = None
         if points_layer is not None and len(points_layer.data):
             points = np.asarray(points_layer.data).astype(int)
-        fn = pick_flipbooks if flipbooks else pick_patches_2d
-        patches = fn(
-            np.asarray(image_layer.data), points=points,
-            n_patches=n_patches, patch_size=patch_size,
-        )
-        stack = np.stack([p[0] if isinstance(p, tuple) else p for p in patches])
+        if flipbooks:
+            patches = pick_flipbooks(
+                np.asarray(image_layer.data), points=points,
+                n_flipbooks=n_patches, patch_size=patch_size,
+            )
+        else:
+            patches = pick_patches_2d(
+                np.asarray(image_layer.data), points=points,
+                n_patches=n_patches, patch_size=patch_size,
+            )
+        stack = np.stack([p["image"] for p in patches])
         return (stack, {"name": f"{image_layer.name}_patches"}, "image")
 
     return widget
@@ -393,7 +414,9 @@ def store_dataset_widget():
 
         imgs = np.asarray(image_layer.data)
         msks = np.asarray(labels_layer.data)
-        patches = list(zip(imgs, msks))
+        patches = [
+            {"image": img, "mask": msk} for img, msk in zip(imgs, msks)
+        ]
         store_dataset(save_dir, prefix, patches)
 
     return widget

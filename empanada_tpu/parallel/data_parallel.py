@@ -222,8 +222,9 @@ class MultiChipEngine3d:
         if self.num_classes * self.label_divisor > 65535 or width > 32767:
             return 0
         if self.max_runs_per_row is not None:
-            return int(self.max_runs_per_row)
-        return max(32, width // 8)
+            return min(int(self.max_runs_per_row), int(width))
+        # clamp to the row width: top_k(k) requires k <= axis size
+        return min(max(32, width // 8), int(width))
 
     def _batches(self, dataset: VolumeDataset):
         """Yield (indices, images (B, H, W, 1) padded+stacked, size)."""

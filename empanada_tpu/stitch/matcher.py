@@ -63,7 +63,7 @@ def _merge_groups(groups: dict) -> dict:
     if not native.available():
         for lbl, attrs in multi:
             out[lbl] = merge_attrs_many(attrs)
-        return out
+        return {lbl: out[lbl] for lbl in groups}
 
     members = [a for _, attrs in multi for a in attrs]
     lens = np.fromiter((len(a["starts"]) for a in members), dtype=np.int64,

@@ -184,3 +184,28 @@ def test_convbnact_s2d_dispatch_cpu(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_int8_execution_parity():
+    """Selective int8 encoder execution (s8xs8 MXU path, blocks.int8_conv)
+    stays within 2% of the f32 path with the SAME params — the TPU analog
+    of the reference's fbgemm int8 deploy
+    (/root/reference/empanada/models/quantization/panoptic_deeplab.py:17)."""
+    import jax.numpy as jnp
+    from empanada_tpu.models import create_model
+
+    kw = dict(encoder="resnet50", num_classes=1, decoder_channels=32,
+              low_level_stages=(1,), low_level_channels_project=(16,))
+    m8 = create_model("PanopticDeepLab", int8_execution=True, **kw)
+    m32 = create_model("PanopticDeepLab", **kw)
+    v = jax.jit(m32.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 64, 64, 1)), jnp.float32)
+    o8 = jax.jit(m8.apply, static_argnames=("train",))(v, x, train=False)
+    o32 = jax.jit(m32.apply, static_argnames=("train",))(v, x, train=False)
+    for k in o32:
+        a = np.asarray(o8[k], np.float32)
+        b = np.asarray(o32[k], np.float32)
+        rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9)
+        assert rel < 0.02, (k, rel)

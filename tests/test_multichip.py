@@ -179,3 +179,30 @@ class TestRunCompaction:
         want = extract_runs(pan[0])
         for got, exp in zip(decoded, want):
             np.testing.assert_array_equal(got, exp)
+
+    def test_narrow_slices_clamp_max_runs(self):
+        """Slices narrower than the default 32-run floor must clamp
+        max_runs to the width instead of crashing top_k."""
+        from empanada_tpu.ops.postprocess import encode_runs_packed
+        from empanada_tpu.core.labeling import decode_runs_packed, extract_runs
+
+        pan = np.zeros((1, 8, 24), np.int32)
+        pan[0, 2:6, 3:20] = 1001
+        packed = np.asarray(encode_runs_packed(jnp.asarray(pan), max_runs=24))
+        decoded = decode_runs_packed(packed[0], width=24)
+        for got, exp in zip(decoded, extract_runs(pan[0])):
+            np.testing.assert_array_equal(got, exp)
+
+    def test_thin_volume_end_to_end(self, tiny_model_and_variables, cfg):
+        """MultiChipEngine3d on a volume whose slice width < 32 px (the
+        review-found top_k crash scenario)."""
+        model, variables = tiny_model_and_variables
+        vol = np.stack(
+            [make_blob_image((64, 24), n_blobs=2, seed=s) for s in range(8)]
+        )
+        eng = MultiChipEngine3d(
+            cfg, median_kernel_size=3, min_size=5, min_extent=1, max_centers=32,
+            model_and_variables=(model, variables),
+        )
+        _, trackers = eng.infer_on_axis(vol, "xy")
+        assert isinstance(trackers, list)
