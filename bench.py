@@ -165,7 +165,7 @@ def measured_flops(pipeline_batch, variables, images) -> float:
         return 0.0
 
 
-def bench_3d(timeout_s: int = 900):
+def bench_3d(timeout_s: int = 1500):
     """Full 3D pipeline (MultiChipEngine3d: device fwd+postprocess+packed-RLE
     transfer, host matching/tracking) on 32x512x512 uint8, one chip.
 

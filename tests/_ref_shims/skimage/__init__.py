@@ -1,4 +1,4 @@
 """Minimal skimage stand-in (scipy.ndimage-backed) for running the
 reference pipeline on tiny test fixtures."""
 
-from . import measure, morphology  # noqa: F401
+from . import measure, morphology, segmentation, util  # noqa: F401

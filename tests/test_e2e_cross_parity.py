@@ -346,3 +346,40 @@ class TestCrossOrtho:
 
         assert_agreement(ref_vol, our_vol)
 
+
+class TestCrossWatershed:
+    """BC family: the reference's bc_watershed (numba heap mask-watershed
+    run as pure Python via the shims, watershed.py:129) vs ours on the same
+    synthetic foreground/boundary probability volume."""
+
+    @pytest.fixture(scope="class")
+    def bc_volume(self):
+        """Two touching spheres separated by a boundary ridge + one isolated
+        sphere, as (2, Z, Y, X) uint8 probabilities."""
+        z, y, x = np.mgrid[0:32, 0:48, 0:48]
+        d1 = np.sqrt((z - 16) ** 2 + (y - 16) ** 2 + (x - 16) ** 2)
+        d2 = np.sqrt((z - 16) ** 2 + (y - 16) ** 2 + (x - 34) ** 2)
+        d3 = np.sqrt((z - 16) ** 2 + (y - 38) ** 2 + (x - 24) ** 2)
+        fg = (d1 < 10) | (d2 < 10) | (d3 < 7)
+        sem = np.where(fg, 250, 5).astype(np.uint8)
+        # boundary ridge where the two spheres meet + thin shells
+        ridge = (np.abs(d1 - d2) < 1.5) & fg
+        shell = ((np.abs(d1 - 10) < 1.2) | (np.abs(d2 - 10) < 1.2)
+                 | (np.abs(d3 - 7) < 1.2)) & fg
+        cnt = np.where(ridge | shell, 240, 5).astype(np.uint8)
+        return np.stack([sem, cnt])
+
+    def test_bc_watershed_parity(self, bc_volume):
+        from empanada.inference.watershed import bc_watershed as ref_bc
+        from empanada_tpu.stitch.watershed import bc_watershed as our_bc
+
+        ref_seg = ref_bc(bc_volume, use_mask_wts=True)
+        our_seg = our_bc(bc_volume, use_mask_wts=True)
+
+        ref_ids = np.unique(ref_seg[ref_seg > 0])
+        assert len(ref_ids) >= 3, f"fixture too weak: {ref_ids}"
+        m = compute_instance_metrics(
+            ref_seg.astype(np.int64), our_seg.astype(np.int64), iou_thr=0.5
+        )
+        assert m["f1"] >= 0.95, m
+        assert m["mean_matched_iou"] >= 0.85, m
