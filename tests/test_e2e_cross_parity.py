@@ -383,3 +383,79 @@ class TestCrossWatershed:
         )
         assert m["f1"] >= 0.95, m
         assert m["mean_matched_iou"] >= 0.85, m
+
+class TestCrossMulticlass:
+    """Multiclass (softmax/argmax + stuff classes) variant of the e2e gate:
+    the single-class tests cover only the sigmoid/threshold path; this one
+    exercises argmax hardening, per-class RLE separation, and the
+    stuff-area filter cross-framework."""
+
+    MC_MODEL_KW = dict(
+        encoder="resnet50", num_classes=3, stage4_stride=16,
+        decoder_channels=32, low_level_stages=[1],
+        low_level_channels_project=[16], atrous_rates=[2, 4, 6],
+        aspp_dropout=0.0, ins_decoder=True, ins_ratio=0.5, num_fc=3,
+        train_num_points=64, oversample_ratio=3, importance_sample_ratio=0.75,
+        subdivision_steps=2, subdivision_num_points=256,
+    )
+    MC_LABELS = [1, 2]
+    MC_THINGS = [1]
+
+    @pytest.fixture(scope="class")
+    def mc_models(self):
+        from empanada.models.quantization import (
+            QuantizablePanopticDeepLabPR as TorchPR,
+        )
+
+        torch.manual_seed(7)
+        tmodel = TorchPR(**self.MC_MODEL_KW, quantize=False).eval()
+        _randomize_bn(tmodel, seed=5)
+        variables = port_state_dict(
+            tmodel.state_dict(), "PanopticDeepLabPR", self.MC_MODEL_KW
+        )
+        fkw = {k: v for k, v in self.MC_MODEL_KW.items() if k != "subdivision_steps"}
+        fmodel = create_model("PanopticDeepLabPR", **fkw)
+        return tmodel, fmodel, variables
+
+    def test_2d_multiclass(self, mc_models):
+        tmodel, fmodel, variables = mc_models
+        image = make_blob_image((96, 96), n_blobs=7, seed=31)
+
+        engine = PanopticDeepLabRenderEngine(
+            tmodel, thing_list=self.MC_THINGS, **ENGINE_KW
+        )
+        with torch.no_grad():
+            pan = engine(_torch_slice(image), image.shape, 1).squeeze().numpy()
+        rle_seg = pan_seg_to_rle_seg(
+            pan, self.MC_LABELS, LABEL_DIVISOR, self.MC_THINGS, force_connected=True
+        )
+        ref_pan = rle_seg_to_pan_seg(rle_seg, image.shape).astype(np.int64)
+
+        cfg = {
+            "class_names": {1: "mito", 2: "er"}, "labels": self.MC_LABELS,
+            "thing_list": self.MC_THINGS, "model": "x", "padding_factor": 16,
+            "norms": NORMS,
+        }
+        ours = api.Engine2d(
+            cfg, nms_threshold=0.1, nms_kernel=3, confidence_thr=0.3,
+            label_divisor=LABEL_DIVISOR, max_centers=64,
+            model_and_variables=(fmodel, variables),
+        )
+        our_pan = ours.infer(image)
+
+        # the thing class gates instance-level; the stuff class gates
+        # pixel-level (its labels carry no instance identity)
+        ref_things = np.where(
+            (ref_pan >= LABEL_DIVISOR) & (ref_pan < 2 * LABEL_DIVISOR), ref_pan, 0
+        )
+        our_things = np.where(
+            (our_pan >= LABEL_DIVISOR) & (our_pan < 2 * LABEL_DIVISOR), our_pan, 0
+        )
+        assert_agreement(ref_things, our_things)
+
+        ref_stuff = (ref_pan >= 2 * LABEL_DIVISOR).astype(np.int64)
+        our_stuff = (our_pan >= 2 * LABEL_DIVISOR).astype(np.int64)
+        assert ref_stuff.sum() > 0, "stuff class empty (vacuous)"
+        inter = np.logical_and(ref_stuff, our_stuff).sum()
+        union = np.logical_or(ref_stuff, our_stuff).sum()
+        assert inter / union >= 0.95, inter / union
