@@ -238,14 +238,82 @@ def bench_3d(timeout_s: int = 1500):
         signal.signal(signal.SIGALRM, old)
 
 
-def main():
+def bench_train(timeout_s: int = 600):
+    """Jitted train-step throughput (MitoNet_v1 arch, PanopticLoss + AdamW,
+    bf16, 256^2 x B16 — the reference's default finetune crop; its own loop
+    is single-GPU torch AMP, empanada_napari/train.py).  Returns imgs/s or
+    None on timeout/failure (SIGALRM guard, same rationale as bench_3d)."""
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    old = signal.signal(signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_Timeout()))
+    signal.alarm(timeout_s)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from empanada_tpu.models import create_model
+        from empanada_tpu.train.losses import PanopticLoss
+        from empanada_tpu.train.state import (
+            adamw_with_decay_mask, create_train_state, make_train_step,
+            onecycle_schedule,
+        )
+        from empanada_tpu.utils import device_time
+
+        h = w = 256
+        b = 16
+        model = create_model(
+            "PanopticDeepLabPR", encoder="resnet50", num_classes=1,
+            stage4_stride=16, decoder_channels=256, low_level_stages=(1,),
+            low_level_channels_project=(32,), ins_decoder=True,
+            subdivision_num_points=8192, dtype=jnp.bfloat16,
+        )
+        tx = adamw_with_decay_mask(onecycle_schedule(3e-3, 1000), weight_decay=0.1)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, h, w, 1), jnp.float32), tx
+        )
+        step = make_train_step(PanopticLoss(), donate=False)
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.normal(0, 1, (b, h, w, 1)), jnp.float32),
+            "sem": jnp.asarray(rng.integers(0, 2, (b, h, w)), jnp.int32),
+            "ctr_hmp": jnp.asarray(rng.random((b, h, w, 1)), jnp.float32),
+            "offsets": jnp.asarray(rng.normal(0, 5, (b, h, w, 2)), jnp.float32),
+        }
+        key = jax.random.key(1)
+
+        def fn(state, image):
+            bb = dict(batch)
+            bb["image"] = image
+            _, m = step(state, bb, key)
+            return sum(m.values())
+
+        def pert(a, i):
+            return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
+
+        dt = device_time(fn, state, batch["image"], iters=8, trials=3, perturb=pert)
+        return b / dt
+    except Exception as e:
+        import sys
+
+        print(f"bench_train failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--skip-3d", action="store_true")
     parser.add_argument("--int8", action="store_true",
                         help="A/B: selective int8 encoder execution "
                              "(s8xs8 MXU convs for wide 3x3s)")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     if args.measure_baseline:
         mvox = measure_baseline()
@@ -282,6 +350,7 @@ def main():
     mfu = flops / dt / peak_flops(jax.devices()[0]) if flops else None
 
     mvox_3d = None if args.skip_3d else bench_3d()
+    train_imgs = None if args.skip_3d else bench_train()
 
     print(json.dumps({
         "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
@@ -294,6 +363,8 @@ def main():
         "vs_baseline_3d": (
             round(mvox_3d / BASELINE_CPU_TORCH_MVOX_S, 1) if mvox_3d is not None else None
         ),
+        "metric_train": "train step (PanopticLoss+AdamW bf16, 256^2xB16)",
+        "train_imgs_s": round(train_imgs, 1) if train_imgs is not None else None,
     }))
 
 

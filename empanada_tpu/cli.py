@@ -298,9 +298,18 @@ def cmd_docs(args):
 
 
 def cmd_bench(args):
-    import bench
+    import os
+    import sys
 
-    bench.main()
+    # bench.py lives at the repo root, importable only from a checkout
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    try:
+        import bench
+    except ImportError:
+        raise SystemExit("bench.py not found (requires a source checkout)")
+    bench.main(args.bench_args)
 
 
 def build_parser():
@@ -409,12 +418,23 @@ def build_parser():
     sp.set_defaults(func=cmd_docs)
 
     sp = sub.add_parser("bench", help="run the throughput benchmark")
+    sp.add_argument("bench_args", nargs=argparse.REMAINDER,
+                    help="flags forwarded to bench.py (e.g. --skip-3d --int8)")
     sp.set_defaults(func=cmd_bench)
 
     return p
 
 
 def main(argv=None):
+    import sys
+
+    if argv is None:
+        argv = sys.argv[1:]
+    # `bench` forwards everything after it to bench.py verbatim
+    # (argparse.REMAINDER no longer captures leading optionals on py3.12)
+    if argv and argv[0] == "bench":
+        ns = argparse.Namespace(bench_args=list(argv[1:]))
+        return cmd_bench(ns)
     args = build_parser().parse_args(argv)
     args.func(args)
 

@@ -388,3 +388,14 @@ def test_infer2d_spatial_shard(tmp_path, tiny_config_yaml):
           "--model", tiny_config_yaml, "--spatial-shard", "--spatial-halo", "16"])
     pan = np.load(out)
     assert pan.shape == img.shape
+
+
+def test_bench_cli_arg_forwarding(monkeypatch):
+    """`cli bench` must not let bench.py re-parse the CLI's own argv
+    (previously bench.main() parsed sys.argv and died on 'bench')."""
+    import bench as bench_mod
+
+    seen = {}
+    monkeypatch.setattr(bench_mod, "main", lambda argv=None: seen.update(argv=argv))
+    main(["bench", "--skip-3d", "--int8"])
+    assert seen["argv"] == ["--skip-3d", "--int8"]
