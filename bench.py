@@ -46,6 +46,49 @@ BATCH = 8
 WARMUP = 2
 ITERS = 10
 
+# MitoNet_v1 flagship architecture (configs/MitoNet_v1.yaml), shared by the
+# 2D pipeline, the 3D engine, and the train-step benches
+FLAGSHIP_KW = dict(
+    encoder="resnet50", num_classes=1, stage4_stride=16, decoder_channels=256,
+    low_level_stages=(1,), low_level_channels_project=(32,), ins_decoder=True,
+    subdivision_num_points=8192,
+)
+
+
+def _alarm_guard(timeout_s, label):
+    """Decorator: run under SIGALRM, return None (with a stderr note) on
+    timeout or failure — a wedged dev tunnel must not fail the whole bench."""
+    import functools
+    import signal
+    import sys
+
+    class _Timeout(Exception):
+        pass
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            def _raise(signum, frame):
+                raise _Timeout()
+
+            old = signal.signal(signal.SIGALRM, _raise)
+            signal.alarm(timeout_s)
+            try:
+                return fn(*a, **kw)
+            except _Timeout:
+                print(f"{label}: timed out (tunnel hang?)", file=sys.stderr)
+                return None
+            except Exception as e:
+                print(f"{label} failed: {type(e).__name__}: {e}", file=sys.stderr)
+                return None
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+
+        return wrapped
+
+    return deco
+
 
 def build(int8: bool = False):
     import jax
@@ -55,17 +98,8 @@ def build(int8: bool = False):
     from empanada_tpu.ops import postprocess as pp
 
     model = create_model(
-        "PanopticDeepLabPR",
-        encoder="resnet50",
-        num_classes=1,
-        stage4_stride=16,
-        decoder_channels=256,
-        low_level_stages=(1,),
-        low_level_channels_project=(32,),
-        ins_decoder=True,
-        subdivision_num_points=8192,
-        dtype=jnp.bfloat16,
-        int8_execution=int8,
+        "PanopticDeepLabPR", dtype=jnp.bfloat16, int8_execution=int8,
+        **FLAGSHIP_KW,
     )
     sample = jnp.zeros((1, H, W, 1), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -165,145 +199,91 @@ def measured_flops(pipeline_batch, variables, images) -> float:
         return 0.0
 
 
-def bench_3d(timeout_s: int = 1500):
+@_alarm_guard(1500, "bench_3d")
+def bench_3d():
     """Full 3D pipeline (MultiChipEngine3d: device fwd+postprocess+packed-RLE
-    transfer, host matching/tracking) on 32x512x512 uint8, one chip.
+    transfer, host matching/tracking) on 32x512x512 uint8, one chip."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
 
-    Guarded by SIGALRM: the dev tunnel occasionally hangs large-program
-    compiles for >30 min (see .claude/skills/verify); on timeout the 3D
-    metric is reported as null rather than failing the whole bench."""
-    import signal
+    from empanada_tpu.models import create_model
+    from empanada_tpu.parallel import MultiChipEngine3d
 
-    class _Timeout(Exception):
-        pass
+    d = 32
+    rng = np.random.default_rng(0)
+    field = gaussian_filter(rng.normal(0, 1, (d, H, W)), (2, 8, 8))
+    field /= field.std()
+    volume = (
+        (field > 0.6) * 110 + 90 + rng.normal(0, 6, (d, H, W))
+    ).clip(0, 255).astype(np.uint8)
 
-    def _raise(signum, frame):
-        raise _Timeout()
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(timeout_s)
-    try:
-        import jax.numpy as jnp
-        from scipy.ndimage import gaussian_filter
-
-        from empanada_tpu.models import create_model
-        from empanada_tpu.parallel import MultiChipEngine3d
-
-        d = 32
-        rng = np.random.default_rng(0)
-        field = gaussian_filter(rng.normal(0, 1, (d, H, W)), (2, 8, 8))
-        field /= field.std()
-        volume = (
-            (field > 0.6) * 110 + 90 + rng.normal(0, 6, (d, H, W))
-        ).clip(0, 255).astype(np.uint8)
-
-        model = create_model(
-            "PanopticDeepLabPR", encoder="resnet50", num_classes=1,
-            stage4_stride=16, decoder_channels=256, low_level_stages=(1,),
-            low_level_channels_project=(32,), ins_decoder=True,
-            subdivision_num_points=8192, dtype=jnp.bfloat16,
-        )
-        import jax
-
-        variables = jax.jit(model.init, static_argnames=("train",))(
-            {"params": jax.random.key(0)}, jnp.zeros((1, H, W, 1), jnp.float32),
-            train=False,
-        )
-        config = {
-            "model_name": "bench", "class_names": {1: "mito"}, "labels": [1],
-            "thing_list": [1], "norms": {"mean": 0.57, "std": 0.12},
-            "padding_factor": 128, "description": "",
-        }
-        engine = MultiChipEngine3d(
-            config, label_divisor=1000, median_kernel_size=3, batch_size=8,
-            compute_dtype=jnp.bfloat16, model_and_variables=(model, variables),
-        )
-        engine.infer_on_axis(volume[:8], "xy")  # compile warmup
-        t0 = time.perf_counter()
-        _, trackers = engine.infer_on_axis(volume, "xy")
-        dt = time.perf_counter() - t0
-        return d * H * W / dt / 1e6
-    except _Timeout:
-        import sys
-
-        print("bench_3d: timed out (tunnel compile hang?)", file=sys.stderr)
-        return None
-    except Exception as e:
-        import sys
-
-        print(f"bench_3d failed: {type(e).__name__}: {e}", file=sys.stderr)
-        return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **FLAGSHIP_KW)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, H, W, 1), jnp.float32),
+        train=False,
+    )
+    config = {
+        "model_name": "bench", "class_names": {1: "mito"}, "labels": [1],
+        "thing_list": [1], "norms": {"mean": 0.57, "std": 0.12},
+        "padding_factor": 128, "description": "",
+    }
+    engine = MultiChipEngine3d(
+        config, label_divisor=1000, median_kernel_size=3, batch_size=8,
+        compute_dtype=jnp.bfloat16, model_and_variables=(model, variables),
+    )
+    engine.infer_on_axis(volume[:8], "xy")  # compile warmup
+    t0 = time.perf_counter()
+    engine.infer_on_axis(volume, "xy")
+    dt = time.perf_counter() - t0
+    return d * H * W / dt / 1e6
 
 
-def bench_train(timeout_s: int = 600):
+@_alarm_guard(600, "bench_train")
+def bench_train():
     """Jitted train-step throughput (MitoNet_v1 arch, PanopticLoss + AdamW,
     bf16, 256^2 x B16 — the reference's default finetune crop; its own loop
-    is single-GPU torch AMP, empanada_napari/train.py).  Returns imgs/s or
-    None on timeout/failure (SIGALRM guard, same rationale as bench_3d)."""
-    import signal
+    is single-GPU torch AMP, empanada_napari/train.py)."""
+    import jax
+    import jax.numpy as jnp
 
-    class _Timeout(Exception):
-        pass
+    from empanada_tpu.models import create_model
+    from empanada_tpu.train.losses import PanopticLoss
+    from empanada_tpu.train.state import (
+        adamw_with_decay_mask, create_train_state, make_train_step,
+        onecycle_schedule,
+    )
+    from empanada_tpu.utils import device_time
 
-    old = signal.signal(signal.SIGALRM, lambda s, f: (_ for _ in ()).throw(_Timeout()))
-    signal.alarm(timeout_s)
-    try:
-        import jax
-        import jax.numpy as jnp
+    h = w = 256
+    b = 16
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **FLAGSHIP_KW)
+    tx = adamw_with_decay_mask(onecycle_schedule(3e-3, 1000), weight_decay=0.1)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, h, w, 1), jnp.float32), tx
+    )
+    step = make_train_step(PanopticLoss(), donate=False)
 
-        from empanada_tpu.models import create_model
-        from empanada_tpu.train.losses import PanopticLoss
-        from empanada_tpu.train.state import (
-            adamw_with_decay_mask, create_train_state, make_train_step,
-            onecycle_schedule,
-        )
-        from empanada_tpu.utils import device_time
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (b, h, w, 1)), jnp.float32),
+        "sem": jnp.asarray(rng.integers(0, 2, (b, h, w)), jnp.int32),
+        "ctr_hmp": jnp.asarray(rng.random((b, h, w, 1)), jnp.float32),
+        "offsets": jnp.asarray(rng.normal(0, 5, (b, h, w, 2)), jnp.float32),
+    }
+    key = jax.random.key(1)
 
-        h = w = 256
-        b = 16
-        model = create_model(
-            "PanopticDeepLabPR", encoder="resnet50", num_classes=1,
-            stage4_stride=16, decoder_channels=256, low_level_stages=(1,),
-            low_level_channels_project=(32,), ins_decoder=True,
-            subdivision_num_points=8192, dtype=jnp.bfloat16,
-        )
-        tx = adamw_with_decay_mask(onecycle_schedule(3e-3, 1000), weight_decay=0.1)
-        state = create_train_state(
-            model, jax.random.key(0), jnp.zeros((1, h, w, 1), jnp.float32), tx
-        )
-        step = make_train_step(PanopticLoss(), donate=False)
+    def fn(state, image):
+        bb = dict(batch)
+        bb["image"] = image
+        _, m = step(state, bb, key)
+        return sum(m.values())
 
-        rng = np.random.default_rng(0)
-        batch = {
-            "image": jnp.asarray(rng.normal(0, 1, (b, h, w, 1)), jnp.float32),
-            "sem": jnp.asarray(rng.integers(0, 2, (b, h, w)), jnp.int32),
-            "ctr_hmp": jnp.asarray(rng.random((b, h, w, 1)), jnp.float32),
-            "offsets": jnp.asarray(rng.normal(0, 5, (b, h, w, 2)), jnp.float32),
-        }
-        key = jax.random.key(1)
+    def pert(a, i):
+        return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
 
-        def fn(state, image):
-            bb = dict(batch)
-            bb["image"] = image
-            _, m = step(state, bb, key)
-            return sum(m.values())
-
-        def pert(a, i):
-            return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
-
-        dt = device_time(fn, state, batch["image"], iters=8, trials=3, perturb=pert)
-        return b / dt
-    except Exception as e:
-        import sys
-
-        print(f"bench_train failed: {type(e).__name__}: {e}", file=sys.stderr)
-        return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    dt = device_time(fn, state, batch["image"], iters=8, trials=3, perturb=pert)
+    return b / dt
 
 
 def main(argv=None):

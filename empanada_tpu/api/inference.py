@@ -282,12 +282,10 @@ class Engine2d:
             # scale > 1: nearest upsample of the low-res panoptic map (the
             # render ladder's extra PointRend steps are not re-run here)
             if self.inference_scale > 1:
-                pan_seg = np.asarray(
-                    np.kron(pan_seg, np.ones(
-                        (self.inference_scale, self.inference_scale),
-                        dtype=pan_seg.dtype,
-                    ))
-                )[: size[0], : size[1]]
+                pan_seg = np.kron(pan_seg, np.ones(
+                    (self.inference_scale, self.inference_scale),
+                    dtype=pan_seg.dtype,
+                ))[: size[0], : size[1]]
             return self.force_connected(pan_seg.astype(np.int64))
 
         if self.tile_size > 0 and any(s > self.tile_size for s in image.shape):

@@ -340,6 +340,7 @@ class MultiChipEngine3d:
                     worker.put(pan.astype(np.int64))
 
         pending = None
+        max_runs = None  # resolved once size is known (first forward)
         for j in range(n_batches):
             ensure_forwarded(j + K)
             base = j - K
@@ -367,7 +368,8 @@ class MultiChipEngine3d:
 
             ctr, off = io_buf.pop(j)
             h, w = size
-            max_runs = self._max_runs(w)
+            if max_runs is None:
+                max_runs = self._max_runs(w)
             pans_dev, packed = self._post_batch(
                 ctx, ctr, off,
                 jnp.asarray(win_local), jnp.asarray(use_median),
