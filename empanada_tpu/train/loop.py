@@ -249,7 +249,9 @@ def main(config: dict, model_and_state=None):
     # ----- loss + metrics ---------------------------------------------------
     criterion_cls = LOSS_REGISTRY[train_cfg.get("criterion", "PanopticLoss")]
     criterion = criterion_cls(**train_cfg.get("criterion_params", {}))
-    train_step = make_train_step(criterion)
+    # TRAIN.remat: recompute activations in backward (jax.checkpoint) —
+    # enables big-crop/big-batch training that wouldn't fit HBM otherwise
+    train_step = make_train_step(criterion, remat=bool(train_cfg.get("remat", False)))
 
     metric_specs = train_cfg.get("metrics", [])
     metrics = ComposeMetrics(

@@ -95,25 +95,36 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
     )
 
 
-def make_train_step(loss_fn, donate: bool = True):
+def make_train_step(loss_fn, donate: bool = True, remat: bool = False):
     """Build the jitted, sharding-agnostic train step.
 
     batch: {'image': (B, H, W, 1), 'sem': (B, H, W), 'ctr_hmp': (B, H, W, 1),
             'offsets': (B, H, W, 2)} — shard the leading axis over the mesh
     when calling; XLA averages gradients over devices automatically.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the backward
+    pass recomputes activations instead of holding them — trades ~1/3 more
+    FLOPs for a large HBM cut (the standard big-crop/big-batch lever; the
+    reference's torch loop has no analog).  Gradients are bit-identical.
     """
 
     def step(state: TrainState, batch: dict, rng):
         d_rng, p_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
-        def compute_loss(params):
-            out, mutated = state.apply_fn(
+        def forward(params, image):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 train=True,
                 rngs={"dropout": d_rng, "points": p_rng},
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            out, mutated = forward(params, batch["image"])
             loss, aux = loss_fn(out, batch)
             return loss, (aux, mutated["batch_stats"])
 

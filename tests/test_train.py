@@ -238,3 +238,40 @@ class TestMultichipTraining:
         cfg["TRAIN"]["batch_size"] = 3
         with pytest.raises(ValueError, match="divisible"):
             T.main(cfg)
+
+
+def test_remat_train_step_identical_grads(synthetic_dataset_dir):
+    """jax.checkpoint rematerialization must not change the step numerics:
+    one step with remat == one step without, bit-for-bit."""
+    import jax
+    from empanada_tpu.train.losses import PanopticLoss
+    from empanada_tpu.train.state import (
+        adamw_with_decay_mask, create_train_state, make_train_step,
+        onecycle_schedule,
+    )
+
+    model = create_model(
+        "PanopticDeepLab", encoder="resnet18", num_classes=1,
+        decoder_channels=32, low_level_stages=(1,),
+        low_level_channels_project=(16,), ins_decoder=False,
+    )
+    tx = adamw_with_decay_mask(onecycle_schedule(1e-3, 10), weight_decay=0.01)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((2, 64, 64, 1), jnp.float32), tx
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (2, 64, 64, 1)), jnp.float32),
+        "sem": jnp.asarray(rng.integers(0, 2, (2, 64, 64)), jnp.int32),
+        "ctr_hmp": jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32),
+        "offsets": jnp.asarray(rng.normal(0, 2, (2, 64, 64, 2)), jnp.float32),
+    }
+    key = jax.random.key(3)
+
+    plain = make_train_step(PanopticLoss(), donate=False)
+    remat = make_train_step(PanopticLoss(), donate=False, remat=True)
+    s1, a1 = plain(state, batch, key)
+    s2, a2 = remat(state, batch, key)
+    assert float(a1["total_loss"]) == float(a2["total_loss"])
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
