@@ -255,7 +255,12 @@ class MultiChipEngine3d:
                 batch_idx.append(-1)
             yield batch_idx, np.stack(batch_imgs)[..., None], size
 
-    def infer_on_axis(self, volume, axis_name: str):
+    def infer_on_axis(self, volume, axis_name: str, timer=None):
+        """``timer``: optional empanada_tpu.utils.StageTimer — same
+        observability surface as Engine3d (last_timing after each call)."""
+        from empanada_tpu.utils import StageTimer
+
+        timer = timer or StageTimer()
         axis = self.axes[axis_name]
         n_slices = volume.shape[axis]
         render_steps = int(2 + math.log2(self.inference_scale))
@@ -341,6 +346,8 @@ class MultiChipEngine3d:
 
         pending = None
         max_runs = None  # resolved once size is known (first forward)
+        t_stream = timer.stage("device_stream+forward_matching")
+        t_stream.__enter__()
         for j in range(n_batches):
             ensure_forwarded(j + K)
             base = j - K
@@ -391,10 +398,12 @@ class MultiChipEngine3d:
         if pending is not None:
             drain(pending)
         rle_stack = worker.finish()
+        t_stream.__exit__(None, None, None)
 
         # phase C: backward matching + tracking + filters (host)
-        for index, rle_seg in backward_matching(rle_stack, matchers, n_slices):
-            update_trackers(rle_seg, index, trackers)
+        with timer.stage("backward_matching"):
+            for index, rle_seg in backward_matching(rle_stack, matchers, n_slices):
+                update_trackers(rle_seg, index, trackers)
         finish_tracking(trackers)
         for tracker in trackers:
             filters.remove_small_objects(tracker, min_size=self.min_size)
@@ -409,8 +418,10 @@ class MultiChipEngine3d:
                 )
             else:
                 stack = np.zeros(volume.shape, dtype=self.dtype)
-            fill_panoptic_volume(stack, trackers)
+            with timer.stage("fill_volume"):
+                fill_panoptic_volume(stack, trackers)
 
+        self.last_timing = timer.report()
         return stack, trackers
 
     def infer_orthoplane(self, volume):
