@@ -119,17 +119,27 @@ def spatial_sharded_forward(
     axis_name: str = "spatial",
     render_steps: int = 2,
     interpolate_ins: bool = True,
+    data_axis: Optional[str] = None,
 ):
     """Run ``model`` over a row-sharded image with halo exchange.
 
     Args:
-        image: (1, H, W, 1) with H divisible by (mesh size * padding factor);
-            halo must be a multiple of 4 (the coarsest full-res output step).
+        image: (N, H, W, 1) with H divisible by (spatial mesh size * padding
+            factor); halo must be a multiple of 4 (the coarsest full-res
+            output step).
+        data_axis: optional second mesh axis to shard the batch over —
+            combined dp x sp: each data-slice of the mesh processes its own
+            images, rows cooperatively sharded within it (halo ppermute and
+            pooling pmean act along ``axis_name`` only, so they stay local
+            to each data row of the mesh).
 
     Returns the model's output dict at the same resolutions an unsharded
-    call would produce, sharded row-wise over the mesh.
+    call would produce, sharded over the mesh.
     """
-    n = mesh.devices.size
+    if data_axis is not None:
+        n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    else:
+        n = mesh.devices.size
     h = image.shape[1]
     assert h % n == 0, f"H={h} must divide over {n} shards"
     assert halo % 4 == 0
@@ -154,11 +164,12 @@ def spatial_sharded_forward(
             cropped[key] = val[:, hh : val.shape[1] - hh]
         return cropped
 
+    spec = P(data_axis, axis_name, None, None)
     fn = shard_map(
         partial(block_forward, variables),
         mesh=mesh,
-        in_specs=P(None, axis_name, None, None),
-        out_specs=P(None, axis_name, None, None),
+        in_specs=spec,
+        out_specs=spec,
         check_vma=False,
     )
     return fn(image)

@@ -228,3 +228,41 @@ class TestSpatialUserSurface:
         # boundaries shift sub-pixel under the documented align_corners
         # approximation; identity must be exact, shapes near-exact
         assert m["mean_matched_iou"] >= 0.80, m
+
+
+class TestDpSpCombined:
+    """Combined dp x sp: batch sharded over 'data', rows over 'spatial' on a
+    2D mesh — each data row of the mesh runs its own halo exchange."""
+
+    def test_matches_unsharded(self, pdl_model):
+        from jax.sharding import Mesh
+
+        model, variables = pdl_model
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("data", "spatial"))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(0, 1, (2, 512, 128, 1)), jnp.float32)
+
+        want = jax.jit(model.apply, static_argnames=("train",))(variables, x, train=False)
+        got = jax.jit(
+            lambda v, im: spatial_sharded_forward(
+                model, v, im, mesh, halo=128, data_axis="data"
+            )
+        )(variables, x)
+
+        for key in ("sem_logits", "ctr_hmp", "offsets"):
+            w = np.asarray(want[key])
+            g = np.asarray(got[key])
+            assert g.shape == w.shape
+            rel_mean = np.abs(g - w).mean() / (np.abs(w).mean() + 1e-6)
+            assert rel_mean < 0.08, f"{key} rel mean diff {rel_mean}"
+        # batch elements must not leak across the data axis: per-sample
+        # sharded output must match a per-sample 1D-spatial run
+        mesh1d = create_mesh(4, axis_name="spatial")
+        solo = jax.jit(
+            lambda v, im: spatial_sharded_forward(model, v, im, mesh1d, halo=128)
+        )(variables, x[:1])
+        np.testing.assert_allclose(
+            np.asarray(got["sem_logits"][:1]), np.asarray(solo["sem_logits"]),
+            rtol=2e-4, atol=2e-4,
+        )
