@@ -298,8 +298,33 @@ class PointRendSemSegHead(nn.Module):
                     point_indices, point_coords = get_uncertain_point_coords_on_grid(
                         uncertainty, num_points
                     )
-                    coarse_points = point_sample(coarse_sem_seg_logits, point_coords)
-                    fine_points = point_sample(features, point_coords)
+                    # ONE packed gather: TPU point gathers are latency-bound
+                    # (a 1-channel point_sample costs the same ~2.6 ms as a
+                    # 256-channel one at K=8192), and coarse logits share the
+                    # feature map's resolution — so sample both in a single
+                    # point_sample on a channel-concat instead of two.
+                    fdim = features.shape[-1]
+                    if coarse_sem_seg_logits.shape[1:3] == features.shape[1:3]:
+                        pk_dt = jnp.promote_types(
+                            features.dtype, coarse_sem_seg_logits.dtype
+                        )
+                        packed = jnp.concatenate(
+                            [
+                                features.astype(pk_dt),
+                                coarse_sem_seg_logits.astype(pk_dt),
+                            ],
+                            axis=-1,
+                        )
+                        pts = point_sample(packed, point_coords)
+                        fine_points = pts[..., :fdim].astype(features.dtype)
+                        coarse_points = pts[..., fdim:].astype(
+                            coarse_sem_seg_logits.dtype
+                        )
+                    else:
+                        coarse_points = point_sample(
+                            coarse_sem_seg_logits, point_coords
+                        )
+                        fine_points = point_sample(features, point_coords)
                     point_logits = self.point_head(fine_points, coarse_points)
 
                     flat = sem_seg_logits.reshape(n, h2 * w2, c)
