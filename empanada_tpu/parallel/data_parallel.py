@@ -387,6 +387,15 @@ class MultiChipEngine3d:
             # must see slices in order, so drain before queueing this one)
             if pending is not None:
                 drain(pending)
+            # start the device->host copy now so it overlaps the NEXT
+            # batch's compute (np.asarray at drain time then finds the
+            # bytes already host-side — saves one blocking RPC per batch
+            # over remote links)
+            fetch = packed if packed is not None else pans_dev
+            try:
+                fetch.copy_to_host_async()
+            except AttributeError:
+                pass
             pending = (pans_dev, packed, stop - start, (h, w))
 
             self._max_resident = max(self._max_resident, len(sem_buf))
