@@ -109,6 +109,33 @@ class StandardPointHead(nn.Module):
                 x = jnp.concatenate([x, coarse_features], axis=-1)
         return self.predictor(x)
 
+    def dense_lowres(self, features_lo, coarse_hi, resize):
+        """Dense evaluation on an upsampled grid with the first layer's
+        feature matmul done at LOW resolution.
+
+        ``relu(resize(f) @ W_f + coarse * w_c + b)`` equals
+        ``relu(resize(f @ W_f) + coarse * w_c + b)`` exactly (bilinear
+        resize and the matmul are both linear maps, and zero padding
+        commutes with ``@ W_f``), but the latter never materializes the
+        upsampled feature map in HBM — at 2x upsampling it does the widest
+        matmul at 1/4 the positions and halves the layer-1 memory traffic.
+        """
+        if self.is_initializing():
+            # materialize identical param shapes via the plain path
+            return self(resize(features_lo), coarse_hi)
+        p0 = self.fcs[0].variables["params"]
+        kern = p0["kernel"].astype(self.dtype)       # (C+1, D)
+        bias = p0["bias"].astype(self.dtype)
+        g = resize(features_lo @ kern[:-1])
+        x = nn.relu(g + coarse_hi * kern[-1] + bias)
+        if self.coarse_pred_each_layer:
+            x = jnp.concatenate([x, coarse_hi], axis=-1)
+        for layer in self.fcs[1:]:
+            x = nn.relu(layer(x))
+            if self.coarse_pred_each_layer:
+                x = jnp.concatenate([x, coarse_hi], axis=-1)
+        return self.predictor(x)
+
     def fused_weights(self, feature_dim: int):
         """Extract the layer weights in the split form the fused Pallas
         kernel consumes: per fc layer (W_fine (in, D) in compute dtype,
@@ -286,10 +313,24 @@ class PointRendSemSegHead(nn.Module):
                         coarse_sem_seg_logits, (h2, w2), align_corners=False,
                         zeros_padding=True,
                     )
-                    fine_dense = bilinear_resize(
-                        features, (h2, w2), align_corners=False, zeros_padding=True
-                    )
-                    dense_logits = self.point_head(fine_dense, coarse_dense)
+                    if self.dtype == jnp.bfloat16:
+                        # bf16 production path: first-layer matmul at low
+                        # res (exact by linearity; f32 keeps torch's op
+                        # order for bit parity)
+                        dense_logits = self.point_head.dense_lowres(
+                            features,
+                            coarse_dense,
+                            lambda g: bilinear_resize(
+                                g, (h2, w2), align_corners=False,
+                                zeros_padding=True,
+                            ),
+                        )
+                    else:
+                        fine_dense = bilinear_resize(
+                            features, (h2, w2), align_corners=False,
+                            zeros_padding=True,
+                        )
+                        dense_logits = self.point_head(fine_dense, coarse_dense)
                     sem_seg_logits = jnp.where(refine_mask, dense_logits, sem_seg_logits)
                 else:
                     # sparse path: for large grids the dense MLP's activation
