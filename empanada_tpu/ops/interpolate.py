@@ -184,3 +184,58 @@ def point_sample(
     models/point_rend.py:35).  ``point_coords``: (N, P, 2) ordered (x, y).
     Returns (N, P, C)."""
     return grid_sample(features, 2.0 * point_coords - 1.0, mode=mode, align_corners=align_corners)
+
+
+def point_sample_packed(features: jnp.ndarray, point_coords: jnp.ndarray) -> jnp.ndarray:
+    """``point_sample`` (bilinear, align_corners=False, zero padding) via a
+    corner-packed feature map: ONE gather row per point instead of four.
+
+    TPU gathers pay a large per-gather overhead on top of the bandwidth term
+    (measured v5e, K=8192 of 128^2: 4 gathers x 257ch = 2.9 ms, 1 gather x
+    1028ch = 1.6 ms), so packing the 4 bilinear corners of every source cell
+    into one wide row — ``packed[a, b] = (f[a-1,b-1], f[a-1,b], f[a,b-1],
+    f[a,b])`` over a zero-padded grid — trades a cheap dense concat for 3 of
+    the 4 gathers.  Values and the lerp combination are identical to
+    ``point_sample`` (bit-exact in eager mode); under jit the two programs
+    may differ at fma-rounding level (~1e-6 rel) because XLA contracts the
+    multiply-add chains independently per program.
+
+    PRECONDITION: every coordinate lies in [0, 1] (grid pixel centers, as
+    produced by ``get_uncertain_point_coords_on_grid``).  Out-of-range
+    coords would index-clamp instead of zero-padding.
+    """
+    n, h, w, c = features.shape
+    fpad = jnp.pad(features, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [
+            fpad[:, : h + 1, : w + 1],   # corner (iy0, ix0)
+            fpad[:, : h + 1, 1:],        # corner (iy0, ix1)
+            fpad[:, 1:, : w + 1],        # corner (iy1, ix0)
+            fpad[:, 1:, 1:],             # corner (iy1, ix1)
+        ],
+        axis=-1,
+    )
+    # replicate grid_sample's exact fp chain ([0,1] -> [-1,1] -> pixels) so
+    # the lerp weights are bit-identical to point_sample's
+    gx = 2.0 * point_coords[..., 0] - 1.0
+    gy = 2.0 * point_coords[..., 1] - 1.0
+    px = ((gx + 1.0) * w - 1.0) / 2.0
+    py = ((gy + 1.0) * h - 1.0) / 2.0
+    ix0 = jnp.floor(px).astype(jnp.int32)  # in [-1, w-1] for coords in [0,1]
+    iy0 = jnp.floor(py).astype(jnp.int32)
+    wx = (px - ix0.astype(px.dtype)).astype(features.dtype)[..., None]
+    wy = (py - iy0.astype(py.dtype)).astype(features.dtype)[..., None]
+    flat = (iy0 + 1) * (w + 1) + (ix0 + 1)
+    v = jnp.take_along_axis(
+        packed.reshape(n, (h + 1) * (w + 1), 4 * c), flat[..., None], axis=1
+    )
+    v00 = v[..., :c]
+    v01 = v[..., c : 2 * c]
+    v10 = v[..., 2 * c : 3 * c]
+    v11 = v[..., 3 * c :]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )

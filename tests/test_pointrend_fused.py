@@ -203,3 +203,74 @@ def test_fused_render_typo_fails_at_init():
             jax.random.key(0),
             jnp.zeros((1, 8, 8, 1)), jnp.zeros((1, 8, 8, 16)), train=False,
         )
+
+
+class TestPointSamplePacked:
+    """point_sample_packed: one wide gather replacing the 4 corner gathers
+    (ops/interpolate.py) — must reproduce point_sample exactly."""
+
+    def test_eager_bit_exact(self):
+        from empanada_tpu.ops.interpolate import point_sample, point_sample_packed
+
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.normal(0, 1, (2, 37, 53, 5)), jnp.float32)
+        pc = jnp.asarray(rng.random((2, 777, 2)), jnp.float32)
+        a = point_sample(f, pc)
+        b = point_sample_packed(f, pc)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_jit_grid_coords_close(self):
+        # grid pixel centers — the coords the subdivision path actually uses;
+        # jit programs may differ only at fma-contraction level
+        from empanada_tpu.ops.interpolate import point_sample, point_sample_packed
+
+        rng = np.random.default_rng(1)
+        f = jnp.asarray(rng.normal(0, 1, (1, 24, 40, 3)), jnp.float32)
+        h2, w2 = 48, 80
+        ys = (jnp.arange(h2) + 0.5) / h2
+        xs = (jnp.arange(w2) + 0.5) / w2
+        pc = jnp.stack(jnp.meshgrid(xs, ys), -1).reshape(1, -1, 2)
+        a = jax.jit(point_sample)(f, pc)
+        b = jax.jit(point_sample_packed)(f, pc)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_border_zero_padding(self):
+        # coords at the extreme corners of [0,1] touch out-of-range bilinear
+        # corners -> zero padding must match grid_sample's validity masking
+        from empanada_tpu.ops.interpolate import point_sample, point_sample_packed
+
+        f = jnp.ones((1, 4, 4, 2), jnp.float32)
+        pc = jnp.asarray([[[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0],
+                           [0.5, 0.5]]], jnp.float32)
+        a = point_sample(f, pc)
+        b = point_sample_packed(f, pc)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        # corner samples average a zero-padded neighborhood: value < 1
+        assert float(a[0, 0, 0]) < 1.0 and float(a[0, 4, 0]) == 1.0
+
+
+class TestDenseLowres:
+    """StandardPointHead.dense_lowres: first FC at low resolution + split
+    dense layers (no per-layer coarse concat) — algebraically exact."""
+
+    @pytest.mark.parametrize("nc,each", [(1, True), (3, True), (1, False)])
+    def test_matches_plain_head_on_upsampled_grid(self, nc, each):
+        rng = np.random.default_rng(2)
+        head = StandardPointHead(num_classes=nc, fc_dim=32, num_fc=3,
+                                 coarse_pred_each_layer=each)
+        h, w, c = 8, 10, 16
+        feats_lo = jnp.asarray(rng.normal(0, 1, (2, h, w, c)), jnp.float32)
+        coarse_hi = jnp.asarray(rng.normal(0, 1, (2, 2 * h, 2 * w, nc)),
+                                jnp.float32)
+
+        def resize(x):
+            return bilinear_resize(x, (2 * h, 2 * w), align_corners=False,
+                                   zeros_padding=True)
+
+        params = head.init(jax.random.key(0), resize(feats_lo), coarse_hi)
+
+        plain = head.apply(params, resize(feats_lo), coarse_hi)
+        lowres = head.apply(params, feats_lo, coarse_hi, resize,
+                            method=StandardPointHead.dense_lowres)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(lowres),
+                                   atol=3e-5, rtol=1e-5)
