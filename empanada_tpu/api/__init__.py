@@ -5,6 +5,7 @@ from empanada_tpu.api.export import archive_model, export_model, import_model
 from empanada_tpu.api.inference import (
     Engine2d,
     Engine3d,
+    combine_panoptic_maps,
     instance_relabel,
     stack_postprocessing,
     tracker_consensus,
@@ -23,7 +24,7 @@ from empanada_tpu.api.utils import (
 __all__ = [
     "load_config", "merge_dicts", "read_yaml",
     "archive_model", "export_model", "import_model",
-    "Engine2d", "Engine3d", "instance_relabel",
+    "Engine2d", "Engine3d", "combine_panoptic_maps", "instance_relabel",
     "stack_postprocessing", "tracker_consensus",
     "MODEL_DIR", "Preprocessor", "add_new_model", "get_configs",
     "load_model_bundle", "load_model_from_config", "save_model_bundle",

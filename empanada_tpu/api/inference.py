@@ -47,9 +47,53 @@ __all__ = [
     "instance_relabel",
     "stack_postprocessing",
     "tracker_consensus",
+    "combine_panoptic_maps",
     "Engine2d",
     "Engine3d",
 ]
+
+
+def combine_panoptic_maps(pan_segs, configs, label_divisor: int = 1000):
+    """Combine per-model panoptic maps into ONE panoptic id space.
+
+    The reference has no single-map equivalent: its users run one inference
+    widget per model (MitoNet + NucleoNet + DropNet, BASELINE.md
+    "multi-model panoptic") and view the resulting napari layers stacked.
+    This is the headless analog — model order is priority order, i.e. where
+    an earlier model predicted a non-background pixel, later models do not
+    overwrite it (top layer occludes).
+
+    Class ids are remapped to a disjoint global space: model ``m``'s class
+    ``c`` becomes ``offset_m + c`` with ``offset_m`` the cumulative max
+    class id of all earlier models; instance ids (``pan % label_divisor``)
+    are preserved.  Returns ``(combined, class_names)`` with ``class_names``
+    mapping global class id -> ``"<model_name>/<class_name>"``.
+    """
+    if len(pan_segs) != len(configs):
+        raise ValueError(
+            f"{len(pan_segs)} maps but {len(configs)} model configs"
+        )
+    combined = None
+    class_names: dict[int, str] = {}
+    offset = 0
+    for pan, config in zip(pan_segs, configs):
+        pan = np.asarray(pan)
+        model_name = config.get("model_name", config.get("arch", "model"))
+        for cid, cname in (config.get("class_names") or {}).items():
+            class_names[offset + int(cid)] = f"{model_name}/{cname}"
+        cls = pan // label_divisor
+        shifted = np.where(cls > 0, pan + offset * label_divisor, 0)
+        if combined is None:
+            combined = shifted
+        else:
+            if pan.shape != combined.shape:
+                raise ValueError(
+                    f"panoptic map shapes differ: {pan.shape} vs {combined.shape}"
+                )
+            combined = np.where(combined == 0, shifted, combined)
+        labels = [int(v) for v in (config.get("labels") or [0])]
+        offset += max(max(labels), int(cls.max(initial=0)))
+    return combined, class_names
 
 
 def instance_relabel(tracker) -> dict:

@@ -61,13 +61,26 @@ def _model_config(name_or_path: str) -> dict:
     from empanada_tpu.api import get_configs, read_yaml
 
     if os.path.isfile(name_or_path):
-        return read_yaml(name_or_path)
-    configs = get_configs()
-    if name_or_path not in configs:
-        raise SystemExit(
-            f"unknown model '{name_or_path}'; registered: {sorted(configs)}"
-        )
-    return read_yaml(configs[name_or_path])
+        config = read_yaml(name_or_path)
+        name = os.path.splitext(os.path.basename(name_or_path))[0]
+    else:
+        configs = get_configs()
+        if name_or_path not in configs:
+            raise SystemExit(
+                f"unknown model '{name_or_path}'; registered: {sorted(configs)}"
+            )
+        config = read_yaml(configs[name_or_path])
+        name = name_or_path
+    config.setdefault("model_name", name)
+    return config
+
+
+def _model_list(args) -> list:
+    """``--model`` is appendable; default to the flagship when omitted."""
+    models = args.model or ["MitoNet_v1"]
+    if len(set(models)) != len(models):
+        raise SystemExit(f"duplicate --model entries: {models}")
+    return models
 
 
 def _parse_roi(spec: str):
@@ -87,24 +100,14 @@ def cmd_infer2d(args):
     """2D inference; --roi / --roi-mask confine it to a window or polygon
     mask, the terminal analog of the reference widget's viewport- and
     ROI-confined modes (_slice_inference.py:187,278: crop to the region,
-    zero pixels outside the mask, write the result back at the offset)."""
+    zero pixels outside the mask, write the result back at the offset).
+    Repeated --model runs each model on the same window and additionally
+    writes a combined panoptic map (disjoint class-id spaces, first model
+    wins on overlap — the headless analog of running one widget per model
+    and stacking the napari layers)."""
     from empanada_tpu.api import Engine2d
 
-    config = _model_config(args.model)
-    engine = Engine2d(
-        config,
-        inference_scale=args.downsampling,
-        label_divisor=args.label_divisor,
-        nms_threshold=args.center_confidence,
-        nms_kernel=args.nms_kernel,
-        confidence_thr=args.segment_confidence,
-        semantic_only=args.semantic_only,
-        fine_boundaries=args.fine_boundaries,
-        tile_size=args.tile_size,
-        shape_buckets=args.shape_buckets,
-        spatial_shard=args.spatial_shard,
-        spatial_halo=args.spatial_halo,
-    )
+    models = _model_list(args)
     image = np.asarray(_load_array(args.image))
 
     roi_mask = None
@@ -132,14 +135,49 @@ def cmd_infer2d(args):
     if roi_mask is not None:
         window = np.where(roi_mask[y1:y2, x1:x2], window, 0).astype(image.dtype)
 
-    pan_window = engine.infer(window)
-    if roi_mask is not None:
-        pan_window = np.where(roi_mask[y1:y2, x1:x2], pan_window, 0)
-    if (y2 - y1, x2 - x1) != image.shape:
-        pan = np.zeros(image.shape, dtype=pan_window.dtype)
-        pan[y1:y2, x1:x2] = pan_window
+    def run_one(config):
+        engine = Engine2d(
+            config,
+            inference_scale=args.downsampling,
+            label_divisor=args.label_divisor,
+            nms_threshold=args.center_confidence,
+            nms_kernel=args.nms_kernel,
+            confidence_thr=args.segment_confidence,
+            semantic_only=args.semantic_only,
+            fine_boundaries=args.fine_boundaries,
+            tile_size=args.tile_size,
+            shape_buckets=args.shape_buckets,
+            spatial_shard=args.spatial_shard,
+            spatial_halo=args.spatial_halo,
+        )
+        pan_window = engine.infer(window)
+        if roi_mask is not None:
+            pan_window = np.where(roi_mask[y1:y2, x1:x2], pan_window, 0)
+        if (y2 - y1, x2 - x1) != image.shape:
+            pan = np.zeros(image.shape, dtype=pan_window.dtype)
+            pan[y1:y2, x1:x2] = pan_window
+        else:
+            pan = pan_window
+        return pan
+
+    configs = [_model_config(m) for m in models]
+    pans = [run_one(c) for c in configs]
+
+    if len(models) == 1:
+        pan = pans[0]
     else:
-        pan = pan_window
+        from empanada_tpu.api import combine_panoptic_maps
+
+        pan, combined_names = combine_panoptic_maps(
+            pans, configs, label_divisor=args.label_divisor
+        )
+        root, ext = os.path.splitext(args.output)
+        for config, per_model in zip(configs, pans):
+            out = f"{root}_{config['model_name']}{ext}"
+            _save_labels(out, per_model)
+            print(f"wrote {out}")
+        for cid, cname in sorted(combined_names.items()):
+            print(f"combined class {cid}: {cname}")
 
     _save_labels(args.output, pan)
     n = (np.unique(pan) > args.label_divisor).sum()
@@ -147,10 +185,22 @@ def cmd_infer2d(args):
 
 
 def cmd_infer3d(args):
+    """Repeated --model runs each model over the volume sequentially; each
+    model's class volumes are written/stored under its own name."""
+    for name in _model_list(args):
+        _infer3d_one(args, name, multi=len(_model_list(args)) > 1)
+
+
+def _infer3d_one(args, model_name, multi=False):
     from empanada_tpu.api import Engine3d, stack_postprocessing, tracker_consensus
     from empanada_tpu.parallel import MultiChipEngine3d
 
-    config = _model_config(args.model)
+    config = _model_config(model_name)
+    model_name = config["model_name"]   # registry key / config basename
+    store = args.store
+    if multi and store is not None:
+        root, ext = os.path.splitext(store)
+        store = f"{root}_{model_name}{ext}"
     common = dict(
         inference_scale=args.downsampling,
         label_divisor=args.label_divisor,
@@ -163,7 +213,7 @@ def cmd_infer3d(args):
         shape_buckets=args.shape_buckets,
         min_size=args.min_size,
         min_extent=args.min_extent,
-        store_url=args.store,
+        store_url=store,
         save_panoptic=args.save_panoptic,
     )
     if args.multichip:
@@ -175,7 +225,7 @@ def cmd_infer3d(args):
     if args.orthoplane:
         trackers = engine.infer_orthoplane(volume)
         worker = tracker_consensus(
-            trackers, args.store, config,
+            trackers, store, config,
             label_divisor=args.label_divisor,
             pixel_vote_thr=args.pixel_vote_thr,
             cluster_iou_thr=args.cluster_iou_thr,
@@ -185,15 +235,16 @@ def cmd_infer3d(args):
     else:
         _, axis_trackers = engine.infer_on_axis(volume, args.axis)
         worker = stack_postprocessing(
-            {args.axis: axis_trackers}, args.store, config,
+            {args.axis: axis_trackers}, store, config,
             label_divisor=args.label_divisor,
             min_size=args.min_size, min_extent=args.min_extent,
         )
 
     for vol, class_name, instances in worker:
-        print(f"class {class_name}: {len(instances)} instances")
-        if args.store is None and args.output:
-            out = args.output.replace("{class}", class_name)
+        tag = f"{model_name}/{class_name}" if multi else class_name
+        print(f"class {tag}: {len(instances)} instances")
+        if store is None and args.output:
+            out = args.output.replace("{class}", tag.replace("/", "_"))
             _save_labels(out, np.asarray(vol))
             print(f"wrote {out}")
 
@@ -317,7 +368,9 @@ def build_parser():
     sub = p.add_subparsers(dest="command", required=True)
 
     def common_infer(sp):
-        sp.add_argument("--model", default="MitoNet_v1")
+        sp.add_argument("--model", action="append", default=None,
+                        help="registered model name or config path; repeat "
+                             "for multi-model panoptic (default MitoNet_v1)")
         sp.add_argument("--downsampling", type=int, default=1,
                         choices=[1, 2, 4, 8, 16, 32, 64],
                         help="inference scale (power of 2, as in the reference widget)")

@@ -216,3 +216,46 @@ class TestQuantizedBundles:
         flat_f = jax.tree_util.tree_leaves(variables)
         assert len(flat_q) == len(flat_f)
         assert all(a.shape == b.shape for a, b in zip(flat_q, flat_f))
+
+
+class TestCombinePanopticMaps:
+    def _cfg(self, name, cname, labels):
+        return {"model_name": name, "class_names": {l: cname for l in labels},
+                "labels": labels}
+
+    def test_disjoint_class_spaces_and_priority(self):
+        from empanada_tpu.api.inference import combine_panoptic_maps
+
+        a = np.zeros((4, 4), np.int64)
+        a[0, 0] = 1 * 1000 + 5       # class 1, instance 5
+        a[1, 1] = 1 * 1000 + 7
+        b = np.zeros((4, 4), np.int64)
+        b[1, 1] = 1 * 1000 + 3       # overlaps a -> a wins
+        b[2, 2] = 1 * 1000 + 9
+        combined, names = combine_panoptic_maps(
+            [a, b], [self._cfg("A", "mito", [1]), self._cfg("B", "nuc", [1])],
+            label_divisor=1000)
+        assert combined[0, 0] == 1005          # A's class 1 keeps id 1
+        assert combined[1, 1] == 1007          # A wins the overlap
+        assert combined[2, 2] == 2 * 1000 + 9  # B's class 1 -> global class 2
+        assert names == {1: "A/mito", 2: "B/nuc"}
+
+    def test_multiclass_offsets(self):
+        from empanada_tpu.api.inference import combine_panoptic_maps
+
+        a = np.asarray([[2 * 100 + 1]])  # classes {1,2}
+        b = np.asarray([[1 * 100 + 4]])
+        combined, names = combine_panoptic_maps(
+            [a, b],
+            [self._cfg("A", "x", [1, 2]), self._cfg("B", "y", [1])],
+            label_divisor=100)
+        assert combined[0, 0] == 2 * 100 + 1   # A occupies, B can't overwrite
+        assert names[3] == "B/y"               # B's class 1 -> 2 + 1
+
+    def test_shape_mismatch_raises(self):
+        from empanada_tpu.api.inference import combine_panoptic_maps
+
+        with np.testing.assert_raises(ValueError):
+            combine_panoptic_maps(
+                [np.zeros((2, 2), np.int64), np.zeros((3, 3), np.int64)],
+                [self._cfg("A", "x", [1]), self._cfg("B", "y", [1])])

@@ -399,3 +399,76 @@ def test_bench_cli_arg_forwarding(monkeypatch):
     monkeypatch.setattr(bench_mod, "main", lambda argv=None: seen.update(argv=argv))
     main(["bench", "--skip-3d", "--int8"])
     assert seen["argv"] == ["--skip-3d", "--int8"]
+
+
+@pytest.fixture
+def tiny_config_yaml_b(tmp_path, tiny_bundle):
+    """Second 'model' (same tiny bundle, different class vocabulary) for
+    multi-model runs."""
+    cfg = {
+        "class_names": {1: "nuclei"},
+        "labels": [1],
+        "thing_list": [1],
+        "model": tiny_bundle,
+        "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.2},
+    }
+    path = tmp_path / "tiny_model_b.yaml"
+    path.write_text(yaml.dump(cfg))
+    return str(path)
+
+
+def test_infer2d_multimodel(tmp_path, tiny_config_yaml, tiny_config_yaml_b,
+                            capsys):
+    """Repeated --model: per-model maps + a combined map with disjoint
+    class-id spaces (BASELINE.md 'multi-model panoptic' workload)."""
+    image = make_blob_image((96, 96), n_blobs=4)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, image)
+    out_path = tmp_path / "pan_mm.npy"
+
+    main(["infer2d", str(img_path), "-o", str(out_path),
+          "--model", tiny_config_yaml, "--model", tiny_config_yaml_b])
+    out = capsys.readouterr().out
+    combined = np.load(out_path)
+    pan_a = np.load(tmp_path / "pan_mm_tiny_model.npy")
+    pan_b = np.load(tmp_path / "pan_mm_tiny_model_b.npy")
+    assert combined.shape == image.shape
+    assert "combined class 1: tiny_model/mito" in out
+    assert "combined class 2: tiny_model_b/nuclei" in out
+    # model A has priority: wherever A predicted, combined == A's map
+    mask_a = pan_a > 0
+    assert np.array_equal(combined[mask_a], pan_a[mask_a])
+    # both models share weights here, so B-only pixels must be empty and
+    # every B prediction sits under A's (class-shifted) footprint
+    only_b = (pan_b > 0) & ~mask_a
+    assert not only_b.any()
+
+
+def test_infer2d_duplicate_model_rejected(tmp_path, tiny_config_yaml):
+    image = make_blob_image((64, 64), n_blobs=2)
+    img_path = tmp_path / "img.npy"
+    np.save(img_path, image)
+    with pytest.raises(SystemExit, match="duplicate"):
+        main(["infer2d", str(img_path), "-o", str(tmp_path / "x.npy"),
+              "--model", tiny_config_yaml, "--model", tiny_config_yaml])
+
+
+def test_infer3d_multimodel(tmp_path, tiny_config_yaml, tiny_config_yaml_b,
+                            capsys):
+    vol = np.stack([make_blob_image((64, 64), n_blobs=3)] * 4)
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    out_tpl = str(tmp_path / "mm_{class}.npy")
+
+    main(["infer3d", str(vol_path), "-o", out_tpl,
+          "--model", tiny_config_yaml, "--model", tiny_config_yaml_b,
+          "--median-slices", "1", "--min-size", "0", "--min-extent", "0"])
+    out = capsys.readouterr().out
+    assert "class tiny_model/mito:" in out
+    assert "class tiny_model_b/nuclei:" in out
+    a = np.load(tmp_path / "mm_tiny_model_mito.npy")
+    b = np.load(tmp_path / "mm_tiny_model_b_nuclei.npy")
+    assert a.shape == vol.shape and b.shape == vol.shape
+    # identical weights -> identical segmentation either way
+    assert np.array_equal(a > 0, b > 0)
