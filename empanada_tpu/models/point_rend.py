@@ -388,7 +388,13 @@ class PointRendSemSegHead(nn.Module):
 
                     flat = sem_seg_logits.reshape(n, h2 * w2, c)
                     batch_idx = jnp.arange(n)[:, None]
-                    flat = flat.at[batch_idx, point_indices].set(point_logits)
+                    # top-k indices are unique per row and in [0, h2*w2) by
+                    # construction — let XLA skip scatter dedup/bounds checks
+                    flat = flat.at[batch_idx, point_indices].set(
+                        point_logits,
+                        unique_indices=True,
+                        mode="promise_in_bounds",
+                    )
                     sem_seg_logits = flat.reshape(n, h2, w2, c)
             pr_out["sem_seg_logits"] = sem_seg_logits
         return pr_out

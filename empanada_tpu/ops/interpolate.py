@@ -136,9 +136,11 @@ def grid_sample(
         )
         iy_c = jnp.clip(iy, 0, h - 1)
         ix_c = jnp.clip(ix, 0, w - 1)
-        flat = iy_c * w + ix_c  # (N, P)
+        flat = iy_c * w + ix_c  # (N, P), in-bounds after the clip above
         feats = features.reshape(n, h * w, c)
-        out = jnp.take_along_axis(feats, flat[..., None], axis=1)
+        out = jnp.take_along_axis(
+            feats, flat[..., None], axis=1, mode="promise_in_bounds"
+        )
         return out * valid[..., None].astype(features.dtype)
 
     if mode == "nearest":
@@ -226,8 +228,13 @@ def point_sample_packed(features: jnp.ndarray, point_coords: jnp.ndarray) -> jnp
     wx = (px - ix0.astype(px.dtype)).astype(features.dtype)[..., None]
     wy = (py - iy0.astype(py.dtype)).astype(features.dtype)[..., None]
     flat = (iy0 + 1) * (w + 1) + (ix0 + 1)
+    # flat is in [0, (h+1)*(w+1)) for coords in [0,1] (see PRECONDITION) —
+    # promise_in_bounds lets XLA drop the gather clamp
     v = jnp.take_along_axis(
-        packed.reshape(n, (h + 1) * (w + 1), 4 * c), flat[..., None], axis=1
+        packed.reshape(n, (h + 1) * (w + 1), 4 * c),
+        flat[..., None],
+        axis=1,
+        mode="promise_in_bounds",
     )
     v00 = v[..., :c]
     v01 = v[..., c : 2 * c]
