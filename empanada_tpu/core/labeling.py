@@ -23,6 +23,9 @@ __all__ = [
     "extract_runs",
     "connected_components_runs",
     "runs_to_regions",
+    "runs_to_flat",
+    "FlatInstances",
+    "RleDict",
     "label_2d",
     "decode_runs_packed",
 ]
@@ -157,16 +160,115 @@ def _connected_components_runs_py(values, rows, col_starts, col_ends, connectivi
     return comp.astype(np.int64) + 1
 
 
-def runs_to_regions(values, rows, col_starts, col_ends, width: int):
-    """Group runs by value into per-instance records.
+class FlatInstances:
+    """Struct-of-arrays view of one class's instance set.
 
-    Returns:
-        dict {label: {"box": (y1, x1, y2, x2), "starts": 1D, "runs": 1D}}
-        with flat raveled starts (row * width + col_start).
+    The nested dict ``{label: {box, starts, runs}}`` is the wire format the
+    host stitching layer inherits from the reference (rle.py:26); the flat
+    form carries the SAME data as five contiguous arrays so the hot matcher
+    path (pairwise intersections, areas, group unions) never has to
+    re-concatenate ~100 small per-instance arrays per slice.
+
+    Invariants: instance k owns ``starts/runs[offsets[k]:offsets[k+1]]``
+    (every instance has >= 1 run), ``labels`` is in dict insertion order.
+    """
+
+    __slots__ = ("labels", "boxes", "offsets", "starts", "runs", "_areas")
+
+    def __init__(self, labels, boxes, offsets, starts, runs):
+        self.labels = labels
+        self.boxes = boxes
+        self.offsets = offsets
+        self.starts = starts
+        self.runs = runs
+        self._areas = None
+
+    @property
+    def areas(self) -> np.ndarray:
+        """Per-instance voxel counts (cached)."""
+        if self._areas is None:
+            if len(self.labels) == 0:
+                self._areas = np.empty(0, dtype=np.int64)
+            else:
+                self._areas = np.add.reduceat(self.runs, self.offsets[:-1])
+        return self._areas
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    @staticmethod
+    def empty() -> "FlatInstances":
+        e = np.empty(0, dtype=np.int64)
+        return FlatInstances(e, np.empty((0, 4), dtype=np.int64), np.zeros(1, dtype=np.int64), e, e)
+
+    def to_dict(self) -> "RleDict":
+        """Build the nested wire-format dict (values are views into the
+        flat arrays) with this flat form attached."""
+        out = RleDict()
+        off = self.offsets
+        b = self.boxes
+        for k, label in enumerate(self.labels):
+            out[int(label)] = {
+                "box": tuple(int(x) for x in b[k]),
+                "starts": self.starts[off[k] : off[k + 1]],
+                "runs": self.runs[off[k] : off[k + 1]],
+            }
+        out._flat = self
+        return out
+
+    @staticmethod
+    def from_dict(d: dict) -> "FlatInstances":
+        """Flatten a wire-format dict (uses the attached form when valid)."""
+        flat = getattr(d, "_flat", None)
+        if flat is not None and flat_matches_dict(flat, d):
+            return flat
+        k = len(d)
+        if k == 0:
+            return FlatInstances.empty()
+        labels = np.fromiter(d.keys(), dtype=np.int64, count=k)
+        boxes = np.array([a["box"] for a in d.values()], dtype=np.int64)
+        starts_list = [np.asarray(a["starts"], dtype=np.int64) for a in d.values()]
+        runs_list = [np.asarray(a["runs"], dtype=np.int64) for a in d.values()]
+        lens = np.fromiter((len(s) for s in starts_list), dtype=np.int64, count=k)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        starts = np.concatenate(starts_list) if k else np.empty(0, np.int64)
+        runs = np.concatenate(runs_list) if k else np.empty(0, np.int64)
+        return FlatInstances(labels, boxes, offsets, starts, runs)
+
+
+class RleDict(dict):
+    """Wire-format instance dict that may carry its FlatInstances form.
+
+    Plain-dict behavior everywhere; the ``_flat`` attachment is an
+    acceleration cache validated against the dict (length + exact key
+    sequence) before use, so consumers that mutate the dict simply lose the
+    fast path instead of reading stale data.
+    """
+
+    __slots__ = ("_flat",)
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._flat = None
+
+
+def flat_matches_dict(flat: FlatInstances, d: dict) -> bool:
+    if len(flat.labels) != len(d):
+        return False
+    keys = np.fromiter(d.keys(), dtype=np.int64, count=len(d))
+    return bool(np.array_equal(keys, flat.labels))
+
+
+def runs_to_flat(values, rows, col_starts, col_ends, width: int) -> FlatInstances:
+    """Group runs by value into a FlatInstances (vectorized over all runs).
+
+    Boxes are the row/col extents of the ORIGINAL runs; the RLE is
+    canonicalized afterwards (runs that touch across row boundaries are
+    merged) so it matches what rle_encode on sorted flat indices produces.
     """
     n = len(values)
     if n == 0:
-        return {}
+        return FlatInstances.empty()
     order = np.argsort(values, kind="stable")
     v = values[order]
     r = rows[order]
@@ -174,38 +276,44 @@ def runs_to_regions(values, rows, col_starts, col_ends, width: int):
     ce = col_ends[order]
 
     group_idx = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
-    labels = v[group_idx]
+    labels = v[group_idx].astype(np.int64, copy=False)
 
     y1 = np.minimum.reduceat(r, group_idx)
     y2 = np.maximum.reduceat(r, group_idx) + 1
     x1 = np.minimum.reduceat(cs, group_idx)
     x2 = np.maximum.reduceat(ce, group_idx)
+    boxes = np.stack([y1, x1, y2, x2], axis=1).astype(np.int64, copy=False)
 
     starts_flat = r * width + cs
     lens = ce - cs
 
-    bounds = np.concatenate([group_idx, [n]])
-    out = {}
-    for k, label in enumerate(labels):
-        sl = slice(bounds[k], bounds[k + 1])
-        s = starts_flat[sl]
-        l = lens[sl]
-        # canonicalize: merge runs that touch across row boundaries so the
-        # RLE matches what rle_encode on sorted flat indices would produce
-        if len(s) > 1:
-            touch = s[1:] == s[:-1] + l[:-1]
-            if touch.any():
-                keep = np.flatnonzero(np.concatenate([[True], ~touch]))
-                ends = s + l
-                merged_ends = np.maximum.reduceat(ends, keep)
-                s = s[keep]
-                l = merged_ends - s
-        out[int(label)] = {
-            "box": (int(y1[k]), int(x1[k]), int(y2[k]), int(x2[k])),
-            "starts": s,
-            "runs": l,
-        }
-    return out
+    # canonicalize globally: within a label, runs are in ascending flat
+    # order (stable sort over row-major runs), so touching chains are
+    # consecutive; label boundaries never touch-merge (v differs)
+    if n > 1:
+        touch = (starts_flat[1:] == starts_flat[:-1] + lens[:-1]) & (v[1:] == v[:-1])
+        if touch.any():
+            keep = np.flatnonzero(np.concatenate([[True], ~touch]))
+            ends = starts_flat + lens
+            merged_ends = np.maximum.reduceat(ends, keep)
+            starts_flat = starts_flat[keep]
+            lens = merged_ends - starts_flat
+            v = v[keep]
+            group_idx = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+
+    offsets = np.concatenate([group_idx, [len(v)]]).astype(np.int64, copy=False)
+    return FlatInstances(labels, boxes, offsets, starts_flat, lens)
+
+
+def runs_to_regions(values, rows, col_starts, col_ends, width: int):
+    """Group runs by value into per-instance records.
+
+    Returns:
+        dict {label: {"box": (y1, x1, y2, x2), "starts": 1D, "runs": 1D}}
+        with flat raveled starts (row * width + col_start).  The returned
+        RleDict carries the FlatInstances form for the matcher fast path.
+    """
+    return runs_to_flat(values, rows, col_starts, col_ends, width).to_dict()
 
 
 def label_2d(seg: np.ndarray, connectivity: int = 8) -> np.ndarray:

@@ -24,10 +24,15 @@ from empanada_tpu.core import (
     rle_ioa,
     rle_iou,
 )
-from empanada_tpu.core.labeling import extract_runs, runs_to_regions
-from empanada_tpu.stitch.rle_seg import unpack_rle_attrs
+from empanada_tpu.core.labeling import (
+    FlatInstances,
+    RleDict,
+    extract_runs,
+    flat_matches_dict,
+    runs_to_regions,
+)
 
-__all__ = ["fast_matcher", "rle_matcher", "RLEMatcher", "merge_attrs"]
+__all__ = ["fast_matcher", "rle_matcher", "rle_matcher_flat", "RLEMatcher", "merge_attrs"]
 
 
 def merge_attrs(rle_attr1: dict, rle_attr2: dict) -> dict:
@@ -185,37 +190,71 @@ def rle_matcher(
     return_ioa: bool = False,
 ):
     """Hungarian matching directly on RLEs (matcher.py:136)."""
-    target_labels, target_boxes, target_starts, target_runs = unpack_rle_attrs(
-        target_instance_rles
-    )
-    match_labels, match_boxes, match_starts, match_runs = unpack_rle_attrs(
-        match_instance_rles
-    )
+    tf = FlatInstances.from_dict(target_instance_rles)
+    mf = FlatInstances.from_dict(match_instance_rles)
+    return rle_matcher_flat(tf, mf, iou_thr, return_iou, return_ioa)
 
-    if len(target_labels) == 0 or len(match_labels) == 0:
-        return _empty_result(target_labels, match_labels, return_iou, return_ioa)
 
-    iou_matrix = np.zeros((len(target_boxes), len(match_boxes)), dtype=float)
+def rle_matcher_flat(
+    tf: FlatInstances,
+    mf: FlatInstances,
+    iou_thr: float = 0.5,
+    return_iou: bool = False,
+    return_ioa: bool = False,
+):
+    """rle_matcher on FlatInstances (no per-instance array churn)."""
+    if len(tf) == 0 or len(mf) == 0:
+        return _empty_result(tf.labels, mf.labels, return_iou, return_ioa)
+
+    iou_matrix = np.zeros((len(tf), len(mf)), dtype=float)
     ioa_matrix = np.zeros_like(iou_matrix) if return_ioa else None
 
-    box_matches = overlapping_box_pairs(target_boxes, match_boxes)
+    box_matches = overlapping_box_pairs(tf.boxes, mf.boxes)
     if len(box_matches):
-        inters = _batch_intersections(
-            target_starts, target_runs, match_starts, match_runs, box_matches
-        )
-        areas1 = _instance_areas(target_runs)
-        areas2 = _instance_areas(match_runs)
+        inters = _batch_intersections_flat(tf, mf, box_matches)
         r1 = box_matches[:, 0]
         r2 = box_matches[:, 1]
-        union = areas1[r1] + areas2[r2] - inters
+        union = tf.areas[r1] + mf.areas[r2] - inters
         iou_matrix[r1, r2] = np.where(union > 0, inters / np.maximum(union, 1), 0.0)
         if return_ioa:
-            ioa_matrix[r1, r2] = np.where(
-                areas2[r2] > 0, inters / np.maximum(areas2[r2], 1), 0.0
-            )
+            a2 = mf.areas[r2]
+            ioa_matrix[r1, r2] = np.where(a2 > 0, inters / np.maximum(a2, 1), 0.0)
 
     return _assign(
-        iou_matrix, ioa_matrix, target_labels, match_labels, iou_thr, return_iou, return_ioa
+        iou_matrix, ioa_matrix, tf.labels, mf.labels, iou_thr, return_iou, return_ioa
+    )
+
+
+def _batch_intersections_flat(tf: FlatInstances, mf: FlatInstances, box_matches):
+    """Pairwise RLE intersections for box-screened pairs from flat forms
+    (two big concats instead of ~2k small per-instance ones)."""
+    try:
+        from empanada_tpu.core import native
+
+        fast = native.available()
+    except ImportError:
+        fast = False
+
+    if fast:
+        s_flat = np.concatenate([tf.starts, mf.starts])
+        e_flat = np.concatenate([tf.starts + tf.runs, mf.starts + mf.runs])
+        flat = np.stack([s_flat, e_flat], axis=1)
+        offsets = np.concatenate([tf.offsets, tf.offsets[-1] + mf.offsets[1:]])
+        pairs = box_matches.copy()
+        pairs[:, 1] += len(tf)
+        return native.batch_pair_intersection(flat, offsets, pairs)
+
+    to, mo = tf.offsets, mf.offsets
+    return np.array(
+        [
+            rle_iou(
+                tf.starts[to[r1] : to[r1 + 1]], tf.runs[to[r1] : to[r1 + 1]],
+                mf.starts[mo[r2] : mo[r2 + 1]], mf.runs[mo[r2] : mo[r2 + 1]],
+                return_intersection=True,
+            )[1]
+            for r1, r2 in box_matches
+        ],
+        dtype=np.int64,
     )
 
 
@@ -356,48 +395,83 @@ class RLEMatcher:
         self.assign_new = assign_new
         self.next_label = (class_id * label_divisor) + 1
         self.target_rle = None
+        self._target_flat = None
 
     def initialize_target(self, target_instance_rles: dict):
         self.target_rle = target_instance_rles
+        self._target_flat = None
         objs = list(target_instance_rles.keys())
         if objs:
             self.next_label = max(objs) + 1
 
     def update_target(self, instance_rles: dict):
         self.target_rle = instance_rles
+        self._target_flat = None
 
     def __call__(self, match_instance_rle: dict, update_target: bool = True) -> dict:
         assert self.target_rle is not None, "Initialize target rle before running!"
 
-        matched_labels, all_labels, _, ioa_matrix = rle_matcher(
-            self.target_rle, match_instance_rle, self.merge_iou_thr, return_ioa=True
+        tf = self._target_flat
+        if tf is None or not flat_matches_dict(tf, self.target_rle):
+            tf = FlatInstances.from_dict(self.target_rle)
+        mf = FlatInstances.from_dict(match_instance_rle)
+
+        matched_labels, all_labels, _, ioa_matrix = rle_matcher_flat(
+            tf, mf, self.merge_iou_thr, return_ioa=True
         )
         target_labels, match_labels = all_labels
         label_matches = {ml: tl for tl, ml in zip(matched_labels[0], matched_labels[1])}
+
+        # per-column IoA decisions vectorized once (a per-instance
+        # column .max()/.argmax() loop costs ~50 ms/pass at EM densities)
+        if ioa_matrix is not None and ioa_matrix.size:
+            col_max = ioa_matrix.max(axis=0).tolist()
+            col_arg = ioa_matrix.argmax(axis=0).tolist()
+        else:
+            col_max = [0.0] * len(match_instance_rle)
+            col_arg = [0] * len(match_instance_rle)
 
         # group instances by destination label first, then merge each
         # collision group in ONE pass (incremental pairwise merge_attrs
         # cost ~70 us/call of numpy+ctypes overhead and dominated the
         # host matcher at EM instance densities)
         groups: dict = {}
+        collisions = False
         for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
             if ml in label_matches:
                 new_label = label_matches[ml]
             else:
-                ioa_max = ioa_matrix[:, i].max() if len(ioa_matrix) > 0 else 0
-                if ioa_max >= self.merge_ioa_thr:
+                if col_max[i] >= self.merge_ioa_thr:
                     # false split: absorb into the most-overlapping target
-                    new_label = target_labels[ioa_matrix[:, i].argmax()]
+                    new_label = target_labels[col_arg[i]]
                 elif self.assign_new:
                     new_label = self.next_label
                     self.next_label += 1
                 else:
                     new_label = ml
-            groups.setdefault(new_label, []).append(mattrs)
+            if new_label in groups:
+                collisions = True
+                groups[new_label].append(mattrs)
+            else:
+                groups[new_label] = [mattrs]
 
-        matched_rles = _merge_groups(groups)
+        if not collisions:
+            # relabel-only: reuse the match flat arrays verbatim (group
+            # order == match iteration order when every group is a
+            # singleton), skipping all merge work
+            matched_rles = RleDict(
+                (lbl, attrs[0]) for lbl, attrs in groups.items()
+            )
+            matched_rles._flat = FlatInstances(
+                np.fromiter(groups.keys(), dtype=np.int64, count=len(groups)),
+                mf.boxes, mf.offsets, mf.starts, mf.runs,
+            )
+            matched_rles._flat._areas = mf._areas
+        else:
+            matched_rles = _merge_groups(groups)
 
         if update_target:
             self.update_target(matched_rles)
+            self._target_flat = getattr(matched_rles, "_flat", None)
 
         return matched_rles
