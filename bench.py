@@ -307,8 +307,39 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # a wedged dev tunnel can hang backend init forever, and the block is
+    # inside PJRT C++ where SIGALRM handlers never run — probe in a
+    # kill-able subprocess so the driver gets a JSON line either way
+    def _probe_devices():
+        import subprocess
+        import sys
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            if proc.returncode == 0:
+                return int(proc.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, ValueError, IndexError):
+            pass
+        return None
+
+    probe = _probe_devices()
+    if probe is None:
+        print(json.dumps({
+            "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
+            "value": None,
+            "unit": "Mvox/s/chip",
+            "vs_baseline": None,
+            "error": "device init timed out (degraded tunnel) — no measurement",
+        }))
+        return
+
     pipeline_batch, variables = build(int8=args.int8)
-    n_chips = max(1, len(jax.devices()))
+    n_chips = max(1, probe)
 
     rng = np.random.default_rng(0)
     # blob-structured inputs (the reference's own test fixtures are seeded
@@ -327,7 +358,18 @@ def main(argv=None):
     # block_until_ready returns early and array fetches pay ~250 ms RPC.
     from empanada_tpu.utils import device_time
 
-    dt = device_time(pipeline_batch, variables, images, iters=ITERS, trials=3)
+    dt = _alarm_guard(1200, "bench_2d")(device_time)(
+        pipeline_batch, variables, images, iters=ITERS, trials=3
+    )
+    if dt is None:
+        print(json.dumps({
+            "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
+            "value": None,
+            "unit": "Mvox/s/chip",
+            "vs_baseline": None,
+            "error": "2D measurement timed out (degraded tunnel)",
+        }))
+        return
 
     mvox_s = BATCH * H * W / dt / 1e6 / n_chips
     flops = measured_flops(pipeline_batch, variables, images)
