@@ -50,6 +50,16 @@ def extract_runs(seg: np.ndarray):
         e = np.empty(0, dtype=np.int64)
         return e, e, e, e
 
+    try:
+        from empanada_tpu.core import native
+
+        if native.available():
+            out = native.extract_runs(seg)
+            if out is not None:
+                return out
+    except ImportError:
+        pass
+
     # run boundaries: value change OR row wrap
     change = np.empty(flat.size, dtype=bool)
     change[0] = True
@@ -205,11 +215,11 @@ class FlatInstances:
         """Build the nested wire-format dict (values are views into the
         flat arrays) with this flat form attached."""
         out = RleDict()
-        off = self.offsets
-        b = self.boxes
-        for k, label in enumerate(self.labels):
-            out[int(label)] = {
-                "box": tuple(int(x) for x in b[k]),
+        off = self.offsets.tolist()
+        boxes = self.boxes.tolist()  # one C call; rows become python ints
+        for k, label in enumerate(self.labels.tolist()):
+            out[label] = {
+                "box": tuple(boxes[k]),
                 "starts": self.starts[off[k] : off[k + 1]],
                 "runs": self.runs[off[k] : off[k + 1]],
             }

@@ -89,6 +89,14 @@ def _load():
     lib.batch_range_union.argtypes = [i64p, i64p, ctypes.c_int64, i64p, i64p]
     lib.batch_range_union.restype = ctypes.c_int64
 
+    lib.extract_runs_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p]
+    lib.extract_runs_i32.restype = ctypes.c_int64
+    lib.extract_runs_i64.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.extract_runs_i64.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -249,3 +257,40 @@ def chunk_split_ranges(ranges, modulo: int, divisor: int) -> np.ndarray:
     if n_out < 0:
         raise RuntimeError("chunk_split_ranges capacity overflow")
     return out[:n_out].copy()
+
+
+def extract_runs(seg: np.ndarray):
+    """Single-pass horizontal run extraction from a dense 2D label map.
+
+    Returns (values, rows, col_starts, col_ends) int64 arrays of the nonzero
+    runs, or None when the dtype is unsupported (caller falls back to the
+    numpy formulation in core.labeling.extract_runs).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    seg = np.ascontiguousarray(seg)
+    if seg.dtype == np.uint32:
+        # label values are far below 2**31 in practice (class_id *
+        # label_divisor + instance); reinterpret without a copy but reject
+        # the pathological case instead of corrupting values
+        if seg.size and seg.max() >= np.iinfo(np.int32).max:
+            seg = seg.astype(np.int64)
+        else:
+            seg = seg.view(np.int32)
+    if seg.dtype == np.int32:
+        fn = lib.extract_runs_i32
+        ptr = seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    elif seg.dtype == np.int64:
+        fn = lib.extract_runs_i64
+        ptr = _i64p(seg)
+    else:
+        return None
+    h, w = seg.shape
+    cap = h * w
+    values = np.empty(cap, dtype=np.int64)
+    rows = np.empty(cap, dtype=np.int64)
+    cs = np.empty(cap, dtype=np.int64)
+    ce = np.empty(cap, dtype=np.int64)
+    n = fn(ptr, h, w, _i64p(values), _i64p(rows), _i64p(cs), _i64p(ce))
+    return values[:n], rows[:n], cs[:n], ce[:n]

@@ -106,6 +106,23 @@ def coverage_ranges(list_of_ranges, min_count: int) -> np.ndarray:
     """
     if isinstance(list_of_ranges, np.ndarray) and list_of_ranges.ndim == 2:
         list_of_ranges = [list_of_ranges]
+
+    try:
+        from empanada_tpu.core import native
+
+        if native.available():
+            arrs = [
+                np.asarray(r).reshape(-1, 2) for r in list_of_ranges if len(r) > 0
+            ]
+            if not arrs:
+                return _EMPTY.copy()
+            # the native event sweep sorts internally — skip the pre-sort
+            return native.vote_ranges(
+                arrs[0] if len(arrs) == 1 else np.concatenate(arrs), min_count
+            )
+    except ImportError:
+        pass
+
     ranges = concat_sort_ranges(list_of_ranges)
     if len(ranges) == 0:
         return _EMPTY.copy()

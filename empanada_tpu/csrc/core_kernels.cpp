@@ -456,4 +456,51 @@ int64_t chunk_split_ranges(const int64_t* ranges, int64_t n, int64_t modulo,
     return n_out;
 }
 
+}  // extern "C" (template helper below needs C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Single-pass extraction of maximal horizontal runs of constant nonzero
+// value from a dense (h, w) label map (the hot edge of pan_seg -> RLE;
+// replaces the numpy not_equal/flatnonzero formulation in
+// core/labeling.py:extract_runs).  Output arrays must hold h*w entries
+// (worst case); returns the run count.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static int64_t extract_runs_impl(const T* seg, int64_t h, int64_t w,
+                                 int64_t* values, int64_t* rows,
+                                 int64_t* col_starts, int64_t* col_ends) {
+    int64_t n = 0;
+    for (int64_t r = 0; r < h; ++r) {
+        const T* row = seg + r * w;
+        int64_t c = 0;
+        while (c < w) {
+            const T v = row[c];
+            if (v == 0) { ++c; continue; }
+            int64_t start = c;
+            do { ++c; } while (c < w && row[c] == v);
+            values[n] = static_cast<int64_t>(v);
+            rows[n] = r;
+            col_starts[n] = start;
+            col_ends[n] = c;
+            ++n;
+        }
+    }
+    return n;
+}
+
+extern "C" {
+
+int64_t extract_runs_i32(const int32_t* seg, int64_t h, int64_t w,
+                         int64_t* values, int64_t* rows,
+                         int64_t* col_starts, int64_t* col_ends) {
+    return extract_runs_impl(seg, h, w, values, rows, col_starts, col_ends);
+}
+
+int64_t extract_runs_i64(const int64_t* seg, int64_t h, int64_t w,
+                         int64_t* values, int64_t* rows,
+                         int64_t* col_starts, int64_t* col_ends) {
+    return extract_runs_impl(seg, h, w, values, rows, col_starts, col_ends);
+}
+
 }  // extern "C"

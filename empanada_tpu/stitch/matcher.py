@@ -101,7 +101,25 @@ def _merge_groups(groups: dict) -> dict:
         }
     # preserve the input's first-occurrence insertion order — downstream
     # consumers paint overlapping instances in dict iteration order
-    return {lbl: out[lbl] for lbl in groups}
+    rd = RleDict((lbl, out[lbl]) for lbl in groups)
+    # attach the flat form eagerly: every matcher output is read again as
+    # flat (as the next target, and once more in the backward pass).  The
+    # values are already int64 arrays (match-dict views / merged segments),
+    # so build directly instead of from_dict's re-asarray pass.
+    k = len(rd)
+    starts_list = [a["starts"] for a in rd.values()]
+    lens = np.fromiter(map(len, starts_list), dtype=np.int64, count=k)
+    offs = np.empty(k + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(lens, out=offs[1:])
+    rd._flat = FlatInstances(
+        np.fromiter(rd.keys(), dtype=np.int64, count=k),
+        np.array([a["box"] for a in rd.values()], dtype=np.int64),
+        offs,
+        np.concatenate(starts_list),
+        np.concatenate([a["runs"] for a in rd.values()]),
+    )
+    return rd
 
 
 def _bounding_box(boxes: np.ndarray) -> tuple:

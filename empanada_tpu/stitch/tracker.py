@@ -24,8 +24,17 @@ from empanada_tpu.core import (
     rle_to_string,
     string_to_rle,
 )
+from empanada_tpu.core.labeling import flat_matches_dict
 
 __all__ = ["InstanceTracker", "to_box3d"]
+
+
+def _valid_flat(d: dict):
+    """The dict's attached FlatInstances, or None when absent/stale."""
+    flat = getattr(d, "_flat", None)
+    if flat is None or not flat_matches_dict(flat, d):
+        return None
+    return flat
 
 AXIS_NUMS = {"xy": 0, "xz": 1, "yz": 2}
 
@@ -61,6 +70,47 @@ class InstanceTracker:
 
         ignore_idx = AXIS_NUMS[self.axis]
         shape2d = tuple(s for i, s in enumerate(self.shape3d) if i != ignore_idx)
+
+        # the 2D->3D index conversion is label-independent, so when the
+        # slice carries its flat form, convert ALL runs in one vectorized
+        # pass and hand out per-instance views
+        flat = _valid_flat(instance_rles)
+        if flat is not None:
+            starts2d_all = flat.starts
+            runs2d_all = flat.runs
+            if self.axis == "xy":
+                starts_all = starts2d_all + index2d * math.prod(shape2d)
+                runs_all = runs2d_all
+                bounds = flat.offsets
+            elif self.axis == "xz":
+                ycoords, xcoords = np.unravel_index(starts2d_all, shape2d)
+                starts_all = np.ravel_multi_index(
+                    (ycoords, np.full_like(ycoords, index2d), xcoords), self.shape3d
+                )
+                runs_all = runs2d_all
+                bounds = flat.offsets
+            else:  # yz: explode to voxels, re-encode later
+                flat2d = rle_decode(starts2d_all, runs2d_all)
+                ycoords, xcoords = np.unravel_index(flat2d, shape2d)
+                starts_all = np.ravel_multi_index(
+                    (ycoords, xcoords, np.full_like(ycoords, index2d)), self.shape3d
+                )
+                runs_all = np.ones_like(starts_all)
+                bounds = np.concatenate([[0], np.cumsum(flat.areas)])
+
+            boxes2d = flat.boxes.tolist()
+            for k, label in enumerate(flat.labels.tolist()):
+                box = to_box3d(index2d, boxes2d[k], self.axis)
+                starts = starts_all[bounds[k] : bounds[k + 1]]
+                runs = runs_all[bounds[k] : bounds[k + 1]]
+                inst = self.instances.get(label)
+                if inst is None:
+                    self.instances[label] = {"box": box, "starts": [starts], "runs": [runs]}
+                else:
+                    inst["box"] = merge_boxes(box, inst["box"])
+                    inst["starts"].append(starts)
+                    inst["runs"].append(runs)
+            return
 
         for label, attrs in instance_rles.items():
             box = to_box3d(index2d, attrs["box"], self.axis)
