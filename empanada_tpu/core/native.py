@@ -53,6 +53,10 @@ def _load():
     lib.vote_ranges.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.vote_ranges.restype = ctypes.c_int64
 
+    lib.vote_sorted_sets.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.vote_sorted_sets.restype = ctypes.c_int64
+
     lib.batch_pair_intersection.argtypes = [i64p, i64p, i64p, ctypes.c_int64, i64p]
     lib.batch_pair_intersection.restype = None
 
@@ -294,3 +298,20 @@ def extract_runs(seg: np.ndarray):
     ce = np.empty(cap, dtype=np.int64)
     n = fn(ptr, h, w, _i64p(values), _i64p(rows), _i64p(cs), _i64p(ce))
     return values[:n], rows[:n], cs[:n], ce[:n]
+
+
+def vote_sorted_sets(list_of_ranges, vote_thr: int) -> np.ndarray:
+    """k-of-n coverage vote over k individually sorted DISJOINT range sets
+    (valid RLEs) via a k-way event merge — no sort (csrc vote_sorted_sets).
+    Caller must verify per-set sortedness/disjointness."""
+    lib = _load()
+    arrs = [_as_i64(r).reshape(-1, 2) for r in list_of_ranges]
+    k = len(arrs)
+    lens = np.fromiter(map(len, arrs), dtype=np.int64, count=k)
+    offsets = np.empty(k + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.concatenate(arrs) if k > 1 else arrs[0]
+    out = np.empty((max(int(offsets[-1]), 1), 2), dtype=np.int64)
+    n_out = lib.vote_sorted_sets(_i64p(flat), _i64p(offsets), k, int(vote_thr), _i64p(out))
+    return out[:n_out].copy()

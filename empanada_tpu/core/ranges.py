@@ -72,6 +72,10 @@ def _merge_touching(starts: np.ndarray, ends: np.ndarray, merge_adjacent: bool =
     return np.stack([out_starts, out_ends], axis=1).astype(np.int64)
 
 
+def _sorted_disjoint(r: np.ndarray) -> bool:
+    return len(r) < 2 or bool(np.all(r[1:, 0] >= r[:-1, 1]))
+
+
 def join_ranges(list_of_ranges) -> np.ndarray:
     """Union of possibly-overlapping ranges into sorted disjoint ranges.
 
@@ -80,6 +84,22 @@ def join_ranges(list_of_ranges) -> np.ndarray:
     """
     if isinstance(list_of_ranges, np.ndarray) and list_of_ranges.ndim == 2:
         list_of_ranges = [list_of_ranges]
+
+    try:
+        from empanada_tpu.core import native
+
+        if native.available():
+            arrs = [
+                np.asarray(r).reshape(-1, 2) for r in list_of_ranges if len(r) > 0
+            ]
+            if not arrs:
+                return _EMPTY.copy()
+            # union == coverage >= 1; valid RLE inputs skip the sort
+            if len(arrs) <= 64 and all(map(_sorted_disjoint, arrs)):
+                return native.vote_sorted_sets(arrs, 1)
+    except ImportError:
+        pass
+
     ranges = concat_sort_ranges(list_of_ranges)
     if len(ranges) == 0:
         return _EMPTY.copy()
@@ -116,7 +136,11 @@ def coverage_ranges(list_of_ranges, min_count: int) -> np.ndarray:
             ]
             if not arrs:
                 return _EMPTY.copy()
-            # the native event sweep sorts internally — skip the pre-sort
+            # valid RLE inputs (sorted + disjoint per set) go through the
+            # sort-free k-way event merge; otherwise the native event sweep
+            # sorts internally — either way skip the numpy pre-sort
+            if len(arrs) <= 64 and all(map(_sorted_disjoint, arrs)):
+                return native.vote_sorted_sets(arrs, min_count)
             return native.vote_ranges(
                 arrs[0] if len(arrs) == 1 else np.concatenate(arrs), min_count
             )

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -186,13 +187,36 @@ int64_t batch_range_union(const int64_t* ranges, const int64_t* group_offsets,
 void batch_pair_intersection(const int64_t* ranges, const int64_t* row_offsets,
                              const int64_t* pairs, int64_t n_pairs,
                              int64_t* out) {
-    for (int64_t k = 0; k < n_pairs; ++k) {
-        int64_t a = pairs[2 * k], b = pairs[2 * k + 1];
-        const int64_t* ra = ranges + 2 * row_offsets[a];
-        const int64_t* rb = ranges + 2 * row_offsets[b];
-        out[k] = range_intersection(ra, row_offsets[a + 1] - row_offsets[a],
-                                    rb, row_offsets[b + 1] - row_offsets[b]);
+    auto work = [&](int64_t begin, int64_t end) {
+        for (int64_t k = begin; k < end; ++k) {
+            int64_t a = pairs[2 * k], b = pairs[2 * k + 1];
+            const int64_t* ra = ranges + 2 * row_offsets[a];
+            const int64_t* rb = ranges + 2 * row_offsets[b];
+            out[k] = range_intersection(ra, row_offsets[a + 1] - row_offsets[a],
+                                        rb, row_offsets[b + 1] - row_offsets[b]);
+        }
+    };
+    // pairs are independent and outputs disjoint — thread the scan for the
+    // consensus workload (3D instances carry tens of thousands of runs)
+    const int64_t kMinPairsPerThread = 64;
+    int64_t n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads > 8) n_threads = 8;
+    if (n_threads > n_pairs / kMinPairsPerThread)
+        n_threads = n_pairs / kMinPairsPerThread;
+    if (n_threads < 2) {
+        work(0, n_pairs);
+        return;
     }
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    int64_t chunk = (n_pairs + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t begin = t * chunk;
+        int64_t end = std::min(n_pairs, begin + chunk);
+        if (begin >= end) break;
+        threads.emplace_back(work, begin, end);
+    }
+    for (auto& th : threads) th.join();
 }
 
 // ---------------------------------------------------------------------------
@@ -230,6 +254,58 @@ int64_t vote_ranges(const int64_t* ranges, int64_t n, int64_t vote_thr, int64_t*
             in_run = false;
         }
         (void)count;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// k-of-n coverage voting over k individually SORTED DISJOINT range sets
+// (valid RLEs).  Each set's event stream (s0, e0, s1, e1, ...) is already
+// non-decreasing, so a k-way merge replaces the O(n log n) event sort of
+// vote_ranges — the consensus hot spot at ortho-plane scale where clusters
+// carry tens of thousands of 3D runs.  Set g occupies
+// ranges[set_offsets[g] : set_offsets[g+1]).  Returns the output count.
+// vote_thr == 1 computes the plain union (adjacent ranges coalesce).
+// ---------------------------------------------------------------------------
+
+int64_t vote_sorted_sets(const int64_t* ranges, const int64_t* set_offsets,
+                         int64_t n_sets, int64_t vote_thr, int64_t* out) {
+    // per-set cursor: next event index (2*i = start of range i, 2*i+1 = end)
+    std::vector<int64_t> cur(n_sets), lim(n_sets);
+    for (int64_t g = 0; g < n_sets; ++g) {
+        cur[g] = 2 * set_offsets[g];
+        lim[g] = 2 * set_offsets[g + 1];
+    }
+    auto event_pos = [&](int64_t g) {
+        // flat ranges buffer: event k of the stream is ranges[k] with
+        // starts at even k, ends at odd k (pairs are (start, end))
+        return ranges[cur[g]];
+    };
+
+    int64_t coverage = 0, run_start = 0, n_out = 0;
+    bool in_run = false;
+    while (true) {
+        // find the minimum next event position across sets
+        int64_t pos = INT64_MAX;
+        for (int64_t g = 0; g < n_sets; ++g)
+            if (cur[g] < lim[g]) pos = std::min(pos, event_pos(g));
+        if (pos == INT64_MAX) break;
+        // consume ALL events at this position before evaluating coverage
+        for (int64_t g = 0; g < n_sets; ++g) {
+            while (cur[g] < lim[g] && event_pos(g) == pos) {
+                coverage += (cur[g] & 1) ? -1 : 1;
+                ++cur[g];
+            }
+        }
+        if (!in_run && coverage >= vote_thr) {
+            run_start = pos;
+            in_run = true;
+        } else if (in_run && coverage < vote_thr) {
+            out[2 * n_out] = run_start;
+            out[2 * n_out + 1] = pos;
+            ++n_out;
+            in_run = false;
+        }
     }
     return n_out;
 }

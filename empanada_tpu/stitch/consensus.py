@@ -119,18 +119,19 @@ def merge_clusters(G):
 
 
 def merge_instances(instances_dict):
-    """Union an arbitrary number of instances into one record."""
+    """Union an arbitrary number of instances into one record.
+
+    One k-way union (join_ranges over all members) replaces the pairwise
+    merge_rles fold — identical output (both coalesce overlap/adjacency),
+    k-1 fewer passes over the big 3D RLEs."""
     if len(instances_dict) < 2:
         return list(instances_dict.values())[0]
-    merged_box, starts, runs = None, None, None
-    for attrs in instances_dict.values():
-        if merged_box is None:
-            merged_box = attrs["box"]
-            starts, runs = attrs["starts"], attrs["runs"]
-        else:
-            merged_box = merge_boxes(merged_box, attrs["box"])
-            starts, runs = merge_rles(starts, runs, attrs["starts"], attrs["runs"])
-    return dict(box=merged_box, starts=starts, runs=runs)
+    attrs_list = list(instances_dict.values())
+    merged_box = attrs_list[0]["box"]
+    for attrs in attrs_list[1:]:
+        merged_box = merge_boxes(merged_box, attrs["box"])
+    joined = join_ranges([_ranges_of(a["starts"], a["runs"]) for a in attrs_list])
+    return dict(box=merged_box, starts=joined[:, 0], runs=joined[:, 1] - joined[:, 0])
 
 
 def merge_overlapping(cluster_instances):
