@@ -287,12 +287,7 @@ def merge_objects_from_trackers(
         tracker_indices, object_labels, object_boxes, object_starts, object_runs
     )
 
-    instance_id = 1
-    instances = {}
-    for comp in nx.connected_components(graph):
-        if len(comp) < min_cluster_size:
-            continue
-
+    def resolve_component(comp):
         cluster_graph = create_graph_of_clusters(graph.subgraph(comp), cluster_iou_thr)
         cluster_graph = merge_clusters(cluster_graph)
 
@@ -321,7 +316,28 @@ def merge_objects_from_trackers(
                 }
                 cluster_id += 1
 
-        for attrs in merge_overlapping(cluster_instances):
+        return merge_overlapping(cluster_instances)
+
+    components = [
+        comp for comp in nx.connected_components(graph)
+        if len(comp) >= min_cluster_size
+    ]
+    # components are independent; the hot work (native votes/intersections)
+    # releases the GIL, so a thread pool parallelizes it.  Results are
+    # renumbered in component order, so the output is identical to the
+    # sequential loop.
+    if len(components) > 3:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(components))) as pool:
+            resolved = list(pool.map(resolve_component, components))
+    else:
+        resolved = [resolve_component(c) for c in components]
+
+    instance_id = 1
+    instances = {}
+    for merged in resolved:
+        for attrs in merged:
             instances[instance_id] = attrs
             instance_id += 1
 
