@@ -4,6 +4,11 @@ The 3D pipeline's host stages (pan_seg -> RLE -> cross-slice matching ->
 trackers -> filters -> fill).  This is the ceiling once device compute is
 co-located (no tunnel): device fwd+postprocess runs ~56 Mvox/s/chip, so
 host stitching must keep up or the chip starves.
+
+History at SIGMA=9 (unloaded host): 21 Mvox/s (round 1) -> 45 (flat
+struct-of-arrays rep through matcher/tracker, native extract_runs) ->
+94 (k-way vote kernel, threaded pair intersections).  Outputs identical
+throughout.
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
