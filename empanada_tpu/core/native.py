@@ -57,7 +57,8 @@ def _load():
         i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.vote_sorted_sets.restype = ctypes.c_int64
 
-    lib.batch_pair_intersection.argtypes = [i64p, i64p, i64p, ctypes.c_int64, i64p]
+    lib.batch_pair_intersection.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.batch_pair_intersection.restype = None
 
     lib.fill_ranges_i32.argtypes = [
@@ -95,10 +96,11 @@ def _load():
 
     lib.extract_runs_i32.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
-        i64p, i64p, i64p, i64p]
+        ctypes.c_int64, i64p, i64p, i64p, i64p]
     lib.extract_runs_i32.restype = ctypes.c_int64
     lib.extract_runs_i64.argtypes = [
-        i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p, i64p]
+        i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i64p, i64p, i64p]
     lib.extract_runs_i64.restype = ctypes.c_int64
 
     _LIB = lib
@@ -139,14 +141,19 @@ def range_intersection(ranges_a, ranges_b) -> int:
     return int(lib.range_intersection(_i64p(a), len(a), _i64p(b), len(b)))
 
 
-def batch_pair_intersection(ranges_flat, row_offsets, pairs) -> np.ndarray:
-    """ranges_flat (R, 2) int64; row_offsets (n_inst+1,); pairs (k, 2)."""
+def batch_pair_intersection(ranges_flat, row_offsets, pairs, max_threads: int = 0) -> np.ndarray:
+    """ranges_flat (R, 2) int64; row_offsets (n_inst+1,); pairs (k, 2).
+
+    ``max_threads``: 0 = auto; pass 1 from inside a thread pool to avoid
+    oversubscription."""
     lib = _load()
     r = _as_i64(ranges_flat).reshape(-1, 2)
     ro = _as_i64(row_offsets)
     p = _as_i64(pairs).reshape(-1, 2)
     out = np.empty(len(p), dtype=np.int64)
-    lib.batch_pair_intersection(_i64p(r), _i64p(ro), _i64p(p), len(p), _i64p(out))
+    lib.batch_pair_intersection(
+        _i64p(r), _i64p(ro), _i64p(p), len(p), int(max_threads), _i64p(out)
+    )
     return out
 
 
@@ -273,15 +280,13 @@ def extract_runs(seg: np.ndarray):
     lib = _load()
     if lib is None:
         return None
-    seg = np.ascontiguousarray(seg)
+    orig = np.ascontiguousarray(seg)
+    seg = orig
     if seg.dtype == np.uint32:
-        # label values are far below 2**31 in practice (class_id *
-        # label_divisor + instance); reinterpret without a copy but reject
-        # the pathological case instead of corrupting values
-        if seg.size and seg.max() >= np.iinfo(np.int32).max:
-            seg = seg.astype(np.int64)
-        else:
-            seg = seg.view(np.int32)
+        # reinterpret without a copy; values >= 2^31 read as negative and
+        # make the kernel return -1, upgrading to the int64 path below —
+        # so the hot path pays no max() pre-scan
+        seg = seg.view(np.int32)
     if seg.dtype == np.int32:
         fn = lib.extract_runs_i32
         ptr = seg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -291,13 +296,28 @@ def extract_runs(seg: np.ndarray):
     else:
         return None
     h, w = seg.shape
-    cap = h * w
-    values = np.empty(cap, dtype=np.int64)
-    rows = np.empty(cap, dtype=np.int64)
-    cs = np.empty(cap, dtype=np.int64)
-    ce = np.empty(cap, dtype=np.int64)
-    n = fn(ptr, h, w, _i64p(values), _i64p(rows), _i64p(cs), _i64p(ce))
-    return values[:n], rows[:n], cs[:n], ce[:n]
+    # EM-density maps carry ~10 runs/row; start with a small buffer and
+    # retry at the h*w worst case on overflow instead of always
+    # allocating 32 bytes/pixel of scratch
+    cap = min(h * w, max(4096, h * 32))
+    while True:
+        values = np.empty(cap, dtype=np.int64)
+        rows = np.empty(cap, dtype=np.int64)
+        cs = np.empty(cap, dtype=np.int64)
+        ce = np.empty(cap, dtype=np.int64)
+        n = fn(ptr, h, w, cap, _i64p(values), _i64p(rows), _i64p(cs), _i64p(ce))
+        if n == -1:
+            # negative int32 (or uint32 >= 2^31 reinterpret): int64 handles
+            # both with numpy-path semantics
+            seg = orig.astype(np.int64)
+            fn = lib.extract_runs_i64
+            ptr = _i64p(seg)
+            continue
+        if n == -2:
+            cap = h * w
+            continue
+        # copy out so the cap-sized scratch is not pinned by the views
+        return values[:n].copy(), rows[:n].copy(), cs[:n].copy(), ce[:n].copy()
 
 
 def vote_sorted_sets(list_of_ranges, vote_thr: int) -> np.ndarray:
@@ -307,6 +327,8 @@ def vote_sorted_sets(list_of_ranges, vote_thr: int) -> np.ndarray:
     lib = _load()
     arrs = [_as_i64(r).reshape(-1, 2) for r in list_of_ranges]
     k = len(arrs)
+    if k == 0:
+        return np.empty((0, 2), dtype=np.int64)
     lens = np.fromiter(map(len, arrs), dtype=np.int64, count=k)
     offsets = np.empty(k + 1, dtype=np.int64)
     offsets[0] = 0

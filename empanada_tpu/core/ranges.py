@@ -84,14 +84,15 @@ def join_ranges(list_of_ranges) -> np.ndarray:
     """
     if isinstance(list_of_ranges, np.ndarray) and list_of_ranges.ndim == 2:
         list_of_ranges = [list_of_ranges]
+    # materialize before any fast-path probing: a generator input would be
+    # exhausted by the probe and silently yield an empty union below
+    list_of_ranges = [np.asarray(r).reshape(-1, 2) for r in list_of_ranges]
 
     try:
         from empanada_tpu.core import native
 
         if native.available():
-            arrs = [
-                np.asarray(r).reshape(-1, 2) for r in list_of_ranges if len(r) > 0
-            ]
+            arrs = [r for r in list_of_ranges if len(r) > 0]
             if not arrs:
                 return _EMPTY.copy()
             # union == coverage >= 1; valid RLE inputs skip the sort
@@ -126,14 +127,14 @@ def coverage_ranges(list_of_ranges, min_count: int) -> np.ndarray:
     """
     if isinstance(list_of_ranges, np.ndarray) and list_of_ranges.ndim == 2:
         list_of_ranges = [list_of_ranges]
+    # materialize before any fast-path probing (generator inputs)
+    list_of_ranges = [np.asarray(r).reshape(-1, 2) for r in list_of_ranges]
 
     try:
         from empanada_tpu.core import native
 
         if native.available():
-            arrs = [
-                np.asarray(r).reshape(-1, 2) for r in list_of_ranges if len(r) > 0
-            ]
+            arrs = [r for r in list_of_ranges if len(r) > 0]
             if not arrs:
                 return _EMPTY.copy()
             # valid RLE inputs (sorted + disjoint per set) go through the

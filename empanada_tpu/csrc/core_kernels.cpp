@@ -186,7 +186,7 @@ int64_t batch_range_union(const int64_t* ranges, const int64_t* group_offsets,
 
 void batch_pair_intersection(const int64_t* ranges, const int64_t* row_offsets,
                              const int64_t* pairs, int64_t n_pairs,
-                             int64_t* out) {
+                             int64_t max_threads, int64_t* out) {
     auto work = [&](int64_t begin, int64_t end) {
         for (int64_t k = begin; k < end; ++k) {
             int64_t a = pairs[2 * k], b = pairs[2 * k + 1];
@@ -197,9 +197,13 @@ void batch_pair_intersection(const int64_t* ranges, const int64_t* row_offsets,
         }
     };
     // pairs are independent and outputs disjoint — thread the scan for the
-    // consensus workload (3D instances carry tens of thousands of runs)
+    // consensus workload (3D instances carry tens of thousands of runs).
+    // max_threads <= 0 means auto; callers already inside a thread pool
+    // pass 1 to avoid oversubscription.
     const int64_t kMinPairsPerThread = 64;
-    int64_t n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    int64_t n_threads = max_threads > 0
+        ? max_threads
+        : static_cast<int64_t>(std::thread::hardware_concurrency());
     if (n_threads > 8) n_threads = 8;
     if (n_threads > n_pairs / kMinPairsPerThread)
         n_threads = n_pairs / kMinPairsPerThread;
@@ -538,13 +542,17 @@ int64_t chunk_split_ranges(const int64_t* ranges, int64_t n, int64_t modulo,
 // Single-pass extraction of maximal horizontal runs of constant nonzero
 // value from a dense (h, w) label map (the hot edge of pan_seg -> RLE;
 // replaces the numpy not_equal/flatnonzero formulation in
-// core/labeling.py:extract_runs).  Output arrays must hold h*w entries
-// (worst case); returns the run count.
+// core/labeling.py:extract_runs).  Output arrays hold `cap` entries;
+// returns the run count, -2 when cap is exceeded (caller retries with a
+// bigger buffer), and — for the i32 entry point only — -1 when a negative
+// value is seen (either a genuinely negative int32 map or a uint32 map
+// reinterpreted as int32 with values >= 2^31; the caller retries via
+// int64, preserving numpy-path semantics either way).
 // ---------------------------------------------------------------------------
 
-template <typename T>
+template <typename T, bool kFlagNegative>
 static int64_t extract_runs_impl(const T* seg, int64_t h, int64_t w,
-                                 int64_t* values, int64_t* rows,
+                                 int64_t cap, int64_t* values, int64_t* rows,
                                  int64_t* col_starts, int64_t* col_ends) {
     int64_t n = 0;
     for (int64_t r = 0; r < h; ++r) {
@@ -553,8 +561,10 @@ static int64_t extract_runs_impl(const T* seg, int64_t h, int64_t w,
         while (c < w) {
             const T v = row[c];
             if (v == 0) { ++c; continue; }
+            if (kFlagNegative && v < 0) return -1;
             int64_t start = c;
             do { ++c; } while (c < w && row[c] == v);
+            if (n >= cap) return -2;
             values[n] = static_cast<int64_t>(v);
             rows[n] = r;
             col_starts[n] = start;
@@ -567,16 +577,18 @@ static int64_t extract_runs_impl(const T* seg, int64_t h, int64_t w,
 
 extern "C" {
 
-int64_t extract_runs_i32(const int32_t* seg, int64_t h, int64_t w,
+int64_t extract_runs_i32(const int32_t* seg, int64_t h, int64_t w, int64_t cap,
                          int64_t* values, int64_t* rows,
                          int64_t* col_starts, int64_t* col_ends) {
-    return extract_runs_impl(seg, h, w, values, rows, col_starts, col_ends);
+    return extract_runs_impl<int32_t, true>(seg, h, w, cap, values, rows,
+                                            col_starts, col_ends);
 }
 
-int64_t extract_runs_i64(const int64_t* seg, int64_t h, int64_t w,
+int64_t extract_runs_i64(const int64_t* seg, int64_t h, int64_t w, int64_t cap,
                          int64_t* values, int64_t* rows,
                          int64_t* col_starts, int64_t* col_ends) {
-    return extract_runs_impl(seg, h, w, values, rows, col_starts, col_ends);
+    return extract_runs_impl<int64_t, false>(seg, h, w, cap, values, rows,
+                                             col_starts, col_ends);
 }
 
 }  // extern "C"

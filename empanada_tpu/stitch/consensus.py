@@ -153,7 +153,8 @@ def merge_overlapping(cluster_instances):
         starts_list = [cluster_instances[k]["starts"] for k in instance_ids]
         runs_list = [cluster_instances[k]["runs"] for k in instance_ids]
         inters = _batch_intersections(
-            starts_list, runs_list, starts_list, runs_list, pairs
+            starts_list, runs_list, starts_list, runs_list, pairs,
+            max_threads=1,  # called from the per-component thread pool
         )
         areas = _instance_areas(runs_list)
         unions = areas[pairs[:, 0]] + areas[pairs[:, 1]] - inters

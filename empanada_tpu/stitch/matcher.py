@@ -103,22 +103,8 @@ def _merge_groups(groups: dict) -> dict:
     # consumers paint overlapping instances in dict iteration order
     rd = RleDict((lbl, out[lbl]) for lbl in groups)
     # attach the flat form eagerly: every matcher output is read again as
-    # flat (as the next target, and once more in the backward pass).  The
-    # values are already int64 arrays (match-dict views / merged segments),
-    # so build directly instead of from_dict's re-asarray pass.
-    k = len(rd)
-    starts_list = [a["starts"] for a in rd.values()]
-    lens = np.fromiter(map(len, starts_list), dtype=np.int64, count=k)
-    offs = np.empty(k + 1, dtype=np.int64)
-    offs[0] = 0
-    np.cumsum(lens, out=offs[1:])
-    rd._flat = FlatInstances(
-        np.fromiter(rd.keys(), dtype=np.int64, count=k),
-        np.array([a["box"] for a in rd.values()], dtype=np.int64),
-        offs,
-        np.concatenate(starts_list),
-        np.concatenate([a["runs"] for a in rd.values()]),
-    )
+    # flat (as the next target, and once more in the backward pass)
+    rd._flat = FlatInstances.from_dict(rd)
     return rd
 
 
@@ -293,9 +279,11 @@ def _instance_areas(runs_list) -> np.ndarray:
     return out
 
 
-def _batch_intersections(target_starts, target_runs, match_starts, match_runs, box_matches):
+def _batch_intersections(target_starts, target_runs, match_starts, match_runs,
+                         box_matches, max_threads: int = 0):
     """Pairwise RLE intersections for all box-screened pairs, in one native
-    call (a per-pair Python loop costs seconds at thousands of instances)."""
+    call (a per-pair Python loop costs seconds at thousands of instances).
+    ``max_threads=1`` disables native threading (callers already in a pool)."""
     try:
         from empanada_tpu.core import native
 
@@ -320,7 +308,7 @@ def _batch_intersections(target_starts, target_runs, match_starts, match_runs, b
         flat = np.stack([s_flat, s_flat + r_flat], axis=1)
         pairs = box_matches.copy()
         pairs[:, 1] += len(target_starts)
-        return native.batch_pair_intersection(flat, offsets, pairs)
+        return native.batch_pair_intersection(flat, offsets, pairs, max_threads)
 
     return np.array(
         [

@@ -145,6 +145,11 @@ class Tiler:
         w = xe - xs
 
         for class_id, labels in rle_seg.items():
+            # values are rewritten in place below; drop any attached
+            # FlatInstances cache (key-sequence validation alone cannot
+            # detect value mutation) so readers rebuild from the dict
+            if hasattr(labels, "_flat"):
+                labels._flat = None
             for label, attrs in labels.items():
                 box = list(attrs["box"])
                 box[0] += ys

@@ -211,16 +211,22 @@ def test_coverage_ranges_native_matches_numpy_sweep():
 
     rng = np.random.default_rng(11)
     for trial in range(100):
+        # alternate sorted-disjoint sets (k-way merge route) with
+        # shuffled/overlapping sets (native sort-sweep fallback route)
+        sorted_sets = trial % 2 == 0
         lists = []
         for _ in range(int(rng.integers(1, 5))):
             n = int(rng.integers(0, 25))
             s = np.sort(rng.integers(0, 300, n))
             e = s + rng.integers(1, 15, n)
-            if n > 1:
+            if sorted_sets and n > 1:
                 e[:-1] = np.minimum(e[:-1], s[1:])
                 keep = e > s
                 s, e = s[keep], e[keep]
-            lists.append(np.stack([s, e], 1))
+            arr = np.stack([s, e], 1)
+            if not sorted_sets and len(arr) > 1:
+                arr = arr[rng.permutation(len(arr))]
+            lists.append(arr)
         for mc in (1, 2, 3):
             np.testing.assert_array_equal(
                 R.coverage_ranges(lists, mc), numpy_cov(lists, mc)
