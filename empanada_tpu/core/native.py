@@ -112,6 +112,10 @@ def available() -> bool:
 
 
 def _as_i64(a):
+    # fast path: the stitching layer passes conforming arrays ~always, and
+    # np.ascontiguousarray costs ~6 us even when it is a no-op
+    if isinstance(a, np.ndarray) and a.dtype == np.int64 and a.flags.c_contiguous:
+        return a
     return np.ascontiguousarray(a, dtype=np.int64)
 
 
