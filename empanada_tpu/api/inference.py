@@ -338,18 +338,31 @@ class Engine2d:
                 tile_size=self.tile_size,
                 overlap_width=min(128, int(self.tile_size * 0.1)),
             )
+            # pipeline: dispatch tile i's device chain, then do tile i-1's
+            # host RLE/translate work while i computes (async JAX dispatch)
             rle_segs = []
+            pending = None  # (device pan, tile index)
+
+            def _drain(dev_pan, idx):
+                tile_rle = pan_seg_to_rle_seg(
+                    np.asarray(dev_pan).astype(np.int64), self.labels,
+                    self.label_divisor, self.engine.thing_list,
+                )
+                rle_segs.append(tiler.translate_rle_seg(tile_rle, idx))
+
             for i in range(len(tiler)):
                 tile = tiler(image, i)
                 tile_size = tile.shape
                 tile = resize_by_factor(tile, self.inference_scale)
                 tile = self.preprocessor(tile)["image"]
-                tile_pan = self.engine(tile, tile_size, upsampling=self.inference_scale)
-                tile_rle = pan_seg_to_rle_seg(
-                    tile_pan.astype(np.int64), self.labels, self.label_divisor,
-                    self.engine.thing_list,
+                dev_pan = self.engine.dispatch(
+                    tile, tile_size, upsampling=self.inference_scale
                 )
-                rle_segs.append(tiler.translate_rle_seg(tile_rle, i))
+                if pending is not None:
+                    _drain(*pending)
+                pending = (dev_pan, i)
+            if pending is not None:
+                _drain(*pending)
 
             rle_seg = {}
             for label in self.labels:

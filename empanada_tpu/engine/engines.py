@@ -263,14 +263,23 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         x = self._to_device_image(image)
         return pp.factor_pad(x, self.padding_factor, buckets=self.shape_buckets)
 
-    def __call__(self, image: np.ndarray, size, upsampling: int = 1) -> np.ndarray:
+    def dispatch(self, image: np.ndarray, size, upsampling: int = 1):
+        """Launch the device chain and return the (unfetched) panoptic map.
+
+        JAX dispatch is asynchronous: the caller can do host work (RLE
+        extraction, tile translation) for a previous slice while this one
+        computes, fetching via ``np.asarray`` only when needed — the 2D
+        tiled path pipelines tiles this way."""
         assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
         h, w = size
         x = self._prepare(image)
         out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
         cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
         pan = self.postprocess(out["sem"], cells)
-        return np.asarray(pan[0, :h, :w])
+        return pan[0, :h, :w]
+
+    def __call__(self, image: np.ndarray, size, upsampling: int = 1) -> np.ndarray:
+        return np.asarray(self.dispatch(image, size, upsampling))
 
 
 class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
