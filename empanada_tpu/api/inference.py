@@ -502,7 +502,12 @@ class Engine3d:
         worker = MatcherWorker(matchers, self.labels, self.label_divisor, self.thing_list)
         with timer.stage("device_inference+forward_matching"):
             for batch in dataset:
-                pan_seg = self.engine(batch["image"], batch["size"], self.inference_scale)
+                # enqueue the UNFETCHED device map: the matcher thread's
+                # np.asarray overlaps this thread's next-slice dispatch
+                # (queue maxsize bounds in-flight device buffers)
+                pan_seg = self.engine.dispatch(
+                    batch["image"], batch["size"], self.inference_scale
+                )
                 worker.put(pan_seg)
             for pan_seg in self.engine.end(self.inference_scale):
                 worker.put(pan_seg)

@@ -289,7 +289,9 @@ class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
         super().__init__(*args, **kwargs)
         self.median = MedianQueue(median_kernel_size)
 
-    def __call__(self, image, size, upsampling: int = 1) -> Optional[np.ndarray]:
+    def dispatch(self, image, size, upsampling: int = 1):
+        """As the 2D engine's dispatch: unfetched device map (or None while
+        the median queue fills) — the caller/matcher thread fetches."""
         assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
         h, w = size
         x = self._prepare(image)
@@ -303,7 +305,11 @@ class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
             median_out["ctr_hmp"], median_out["offsets"], upsampling
         )
         pan = self.postprocess(median_out["sem"], cells)
-        return np.asarray(pan[0, :h, :w])
+        return pan[0, :h, :w]
+
+    def __call__(self, image, size, upsampling: int = 1) -> Optional[np.ndarray]:
+        pan = self.dispatch(image, size, upsampling)
+        return None if pan is None else np.asarray(pan)
 
     def end(self, upsampling: int = 1):
         final = []
