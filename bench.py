@@ -243,6 +243,55 @@ def bench_3d():
     return d * H * W / best / 1e6
 
 
+@_alarm_guard(2000, "bench_ortho")
+def bench_ortho():
+    """Ortho-plane consensus workload (BASELINE.md): xy/xz/yz sweeps with
+    MultiChipEngine3d + graph consensus on 64x256x256 uint8, one chip.
+    Reports output-volume Mvox/s (each voxel is inferred 3x)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from empanada_tpu.models import create_model
+    from empanada_tpu.parallel import MultiChipEngine3d
+    from empanada_tpu.stitch.consensus import merge_objects_from_trackers
+
+    d, hw = 64, 256
+    rng = np.random.default_rng(0)
+    field = gaussian_filter(rng.normal(0, 1, (d, hw, hw)), (2, 6, 6))
+    field /= field.std()
+    volume = (
+        (field > 0.6) * 110 + 90 + rng.normal(0, 6, (d, hw, hw))
+    ).clip(0, 255).astype(np.uint8)
+
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **FLAGSHIP_KW)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, hw, hw, 1), jnp.float32),
+        train=False,
+    )
+    config = {
+        "model_name": "bench", "class_names": {1: "mito"}, "labels": [1],
+        "thing_list": [1], "norms": {"mean": 0.57, "std": 0.12},
+        "padding_factor": 128, "description": "",
+    }
+    engine = MultiChipEngine3d(
+        config, label_divisor=1000, median_kernel_size=3, batch_size=8,
+        compute_dtype=jnp.bfloat16, model_and_variables=(model, variables),
+    )
+    # compile warmup per distinct slice shape: xy (256,256); xz/yz both
+    # (64,256) after padding, so they share one compile
+    engine.infer_on_axis(volume[:8], "xy")
+    engine.infer_on_axis(volume[:, :8, :], "xz")
+    t0 = time.perf_counter()
+    trackers = engine.infer_orthoplane(volume)
+    merge_objects_from_trackers(
+        [trackers[ax][0] for ax in ("xy", "xz", "yz")],
+        pixel_vote_thr=2, cluster_iou_thr=0.75,
+    )
+    dt = time.perf_counter() - t0
+    return d * hw * hw / dt / 1e6
+
+
 @_alarm_guard(600, "bench_train")
 def bench_train():
     """Jitted train-step throughput (MitoNet_v1 arch, PanopticLoss + AdamW,
@@ -376,6 +425,7 @@ def main(argv=None):
     mfu = flops / dt / peak_flops(jax.devices()[0]) if flops else None
 
     mvox_3d = None if args.skip_3d else bench_3d()
+    mvox_ortho = None if args.skip_3d else bench_ortho()
     train_imgs = None if args.skip_3d else bench_train()
 
     print(json.dumps({
@@ -389,6 +439,8 @@ def main(argv=None):
         "vs_baseline_3d": (
             round(mvox_3d / BASELINE_CPU_TORCH_MVOX_S, 1) if mvox_3d is not None else None
         ),
+        "metric_ortho": "ortho-plane consensus e2e (xy/xz/yz sweeps + graph consensus, 64x256x256, output Mvox/s)",
+        "value_ortho": round(mvox_ortho, 3) if mvox_ortho is not None else None,
         "metric_train": "train step (PanopticLoss+AdamW bf16, 256^2xB16)",
         "train_imgs_s": round(train_imgs, 1) if train_imgs is not None else None,
     }))
