@@ -263,6 +263,15 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         x = self._to_device_image(image)
         return pp.factor_pad(x, self.padding_factor, buckets=self.shape_buckets)
 
+    def _forward_out(self, image, size, upsampling: int):
+        """Shared dispatch prologue: pad/prepare + model forward with
+        render_steps = 2 + log2(upsampling); records the crop size."""
+        assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
+        x = self._prepare(image)
+        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        out["size"] = tuple(size)
+        return out
+
     def dispatch(self, image: np.ndarray, size, upsampling: int = 1):
         """Launch the device chain and return the (unfetched) panoptic map.
 
@@ -270,10 +279,8 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         extraction, tile translation) for a previous slice while this one
         computes, fetching via ``np.asarray`` only when needed — the 2D
         tiled path pipelines tiles this way."""
-        assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
-        h, w = size
-        x = self._prepare(image)
-        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        out = self._forward_out(image, size, upsampling)
+        h, w = out["size"]
         cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
         pan = self.postprocess(out["sem"], cells)
         return pan[0, :h, :w]
@@ -292,15 +299,15 @@ class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
     def dispatch(self, image, size, upsampling: int = 1):
         """As the 2D engine's dispatch: unfetched device map (or None while
         the median queue fills) — the caller/matcher thread fetches."""
-        assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
-        h, w = size
-        x = self._prepare(image)
-        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
-        out["size"] = (h, w)
+        out = self._forward_out(image, size, upsampling)
         self.median.enqueue(out)
         median_out = self.median.get_next(keys=["sem"])
         if median_out is None:
             return None
+        # crop with the MIDDLE slice's recorded size, not this call's (the
+        # per-call size argument permits varying slice sizes; end() already
+        # does the same)
+        h, w = median_out["size"]
         cells = self.get_instance_cells(
             median_out["ctr_hmp"], median_out["offsets"], upsampling
         )

@@ -228,8 +228,11 @@ def point_sample_packed(features: jnp.ndarray, point_coords: jnp.ndarray) -> jnp
     wx = (px - ix0.astype(px.dtype)).astype(features.dtype)[..., None]
     wy = (py - iy0.astype(py.dtype)).astype(features.dtype)[..., None]
     flat = (iy0 + 1) * (w + 1) + (ix0 + 1)
-    # flat is in [0, (h+1)*(w+1)) for coords in [0,1] (see PRECONDITION) —
-    # promise_in_bounds lets XLA drop the gather clamp
+    # flat is in [0, (h+1)*(w+1)) for coords in [0,1] (see PRECONDITION);
+    # the clip makes out-of-contract coords read defined (wrong, matching
+    # the old clamped-gather behavior) rather than undefined memory, and
+    # keeps promise_in_bounds trivially true so XLA still drops its clamp
+    flat = jnp.clip(flat, 0, (h + 1) * (w + 1) - 1)
     v = jnp.take_along_axis(
         packed.reshape(n, (h + 1) * (w + 1), 4 * c),
         flat[..., None],

@@ -12,11 +12,16 @@ read loads an _ALIGN-aligned block and selects the row with an iota compare,
 with outputs written in _ALIGN-row groups.
 
 Measured status (v5e, 8x8192 points over 128x128x256 bf16): 10.8 ms/batch —
-on par with XLA's HBM gather (9.5 ms), not faster: the aligned-block+select
-read costs ~_ALIGN x the useful work, eating the VMEM-residency win.  The
-kernels are kept as working, tested infrastructure (and the template for a
-future strided-DMA gather); the hot paths use the XLA formulations, which
-after the one-hot-matmul rewrites are the fastest available.
+on par with XLA's HBM gather (9.5 ms), not faster.  Cost accounting says the
+bottleneck is per-point serialization, not read amplification: ~150 scalar
+cycles/point x 65k points ~= 10 ms, while the _ALIGN-block selects are only
+~0.1 ms of VPU work.  The tempting alternatives also lose on paper:
+per-point strided DMA needs ~65k async-copy issues/batch (~300 ns scalar
+issue each ~= 20 ms), and a one-hot-matmul gather at this size is ~550
+GFLOP/batch (~3 ms MXU) plus an unmaterializable (P, H*W) one-hot.  The
+kernels are kept as working, tested infrastructure; the hot paths use the
+XLA formulations, which after the one-hot-matmul rewrites and
+promise_in_bounds annotations are the fastest available.
 
 Falls back to interpret mode on non-TPU backends (CPU tests stay exact).
 """

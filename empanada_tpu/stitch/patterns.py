@@ -106,17 +106,34 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing
 
 
 class MatcherWorker:
-    """Thread running forward_matching concurrently with device inference."""
+    """Thread running forward_matching concurrently with device inference.
+
+    A failure inside the thread (e.g. a device error surfacing at the
+    ``np.asarray`` fetch of an enqueued device map) must not deadlock the
+    producer: the worker keeps draining the bounded queue after an error so
+    ``put`` never blocks forever, and ``finish`` re-raises the exception."""
 
     def __init__(self, matchers, labels, label_divisor, thing_list, maxsize: int = 8):
         self.queue = queue.Queue(maxsize=maxsize)
         self.rle_stack = []
-        self._thread = threading.Thread(
-            target=forward_matching,
-            args=(matchers, self.queue, self.rle_stack, labels, label_divisor, thing_list),
-            daemon=True,
-        )
+        self.error = None
+        self._thread = threading.Thread(target=self._run, args=(
+            matchers, labels, label_divisor, thing_list), daemon=True)
         self._thread.start()
+
+    def _run(self, matchers, labels, label_divisor, thing_list):
+        try:
+            forward_matching(
+                matchers, self.queue, self.rle_stack, labels, label_divisor,
+                thing_list,
+            )
+        except BaseException as exc:  # noqa: BLE001 — re-raised in finish()
+            self.error = exc
+            # keep consuming so the producer's bounded put never blocks
+            while True:
+                item = self.queue.get()
+                if isinstance(item, str):
+                    break
 
     def put(self, pan_seg):
         self.queue.put(pan_seg)
@@ -124,6 +141,8 @@ class MatcherWorker:
     def finish(self):
         self.queue.put(FINISH)
         self._thread.join()
+        if self.error is not None:
+            raise RuntimeError("matcher worker failed") from self.error
         return self.rle_stack
 
 

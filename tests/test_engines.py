@@ -122,3 +122,27 @@ class TestBCEngine:
         bc_vol = np.stack(outs).transpose(3, 0, 1, 2)  # (2, Z, H, W)
         seg = bc_watershed((bc_vol * 255).astype(np.uint8), seed_thres=0, min_size=0)
         assert seg.shape == vol.shape
+
+
+def test_3d_varying_slice_sizes_crop_with_middle_size(small_pr_model):
+    """The median queue returns the MIDDLE slice's outputs; the crop must use
+    that slice's recorded size, not the current call's (sizes may vary)."""
+    import numpy as np
+
+    model, variables = small_pr_model
+    engine = PanopticDeepLabRenderEngine3d(
+        model, variables, thing_list=[1], median_kernel_size=3,
+        padding_factor=16, coarse_boundaries=True, max_centers=64,
+    )
+    rng = np.random.default_rng(0)
+    # sizes differ but share the factor-16 padded shape (48, 48): the median
+    # window can stack them, and the crop must still follow each item's size
+    sizes = [(48, 48), (48, 48), (40, 44), (40, 44), (33, 47)]
+    outs = []
+    for s in sizes:
+        img = rng.random(s, dtype=np.float32)
+        pan = engine(img, size=s)
+        if pan is not None:
+            outs.append(pan)
+    outs.extend(engine.end())
+    assert [o.shape for o in outs] == sizes

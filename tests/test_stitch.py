@@ -340,3 +340,24 @@ def test_native_range_union_matches_join_ranges():
         got = native.range_union(a, b)
         want = join_ranges([a, b])
         assert np.array_equal(got, want)
+
+
+def test_matcher_worker_error_does_not_deadlock():
+    """A failure inside the worker thread (e.g. a device error surfacing at
+    the np.asarray fetch of an enqueued device map) must drain the bounded
+    queue so the producer's put never blocks, and finish() must re-raise."""
+    import time
+
+    class Boom:
+        def __array__(self, dtype=None):
+            raise RuntimeError("device fetch failed")
+
+    matchers = create_matchers([1], 1000, 0.25, 0.25)
+    worker = MatcherWorker(matchers, [1], 1000, [1], maxsize=2)
+    worker.put(Boom())
+    t0 = time.time()
+    for _ in range(10):  # would deadlock at the 3rd put before the fix
+        worker.put(np.zeros((8, 8), np.int64))
+    assert time.time() - t0 < 5.0
+    with pytest.raises(RuntimeError, match="matcher worker failed"):
+        worker.finish()
