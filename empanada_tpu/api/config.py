@@ -35,10 +35,18 @@ def load_config(config_file: str, base_kw: str = "BASE") -> dict:
         return config
 
     chain = [config]
+    seen = {os.path.abspath(config_file)}
     while base_kw in config:
         base_path = os.path.join(
             os.path.abspath(os.path.dirname(config_file)), config[base_kw]
         )
+        base_path = os.path.abspath(base_path)
+        if base_path in seen:
+            raise ValueError(
+                f"BASE inheritance cycle: {base_path!r} reached twice "
+                f"(chain of {len(chain)} configs)"
+            )
+        seen.add(base_path)
         config = read_yaml(base_path)
         chain.append(config)
         config_file = base_path

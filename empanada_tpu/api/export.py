@@ -73,10 +73,16 @@ def import_model(archive_path: str, model_name: str | None = None) -> str:
         assert len(weight_names) >= 1, "archive contains no model weights"
         model_out = None
         for wn in weight_names:
-            target = os.path.join(store_dir, wn)
+            # flatten to the basename: archives are untrusted cross-machine
+            # artifacts, so member paths must never escape the store dir
+            # (zip-slip) and subdirectory layouts are normalized away
+            flat = os.path.basename(wn.replace("\\", "/"))
+            if not flat:
+                continue
+            target = os.path.join(store_dir, flat)
             with zf.open(wn) as src, open(target, "wb") as dst:
                 shutil.copyfileobj(src, dst)
-            if wn == os.path.basename(str(config.get("model", ""))) or model_out is None:
+            if flat == os.path.basename(str(config.get("model", ""))) or model_out is None:
                 model_out = target
 
     add_new_model(name, config, model_file=model_out)

@@ -149,7 +149,7 @@ def stack_postprocessing(
                 f"{store_url.rstrip('/')}/{class_name}", shape3d, chunk_size, class_dtype
             )
         else:
-            stack_vol = np.zeros(shape3d, dtype=dtype)
+            stack_vol = np.zeros(shape3d, dtype=class_dtype)
 
         fill_volume(stack_vol, stack_tracker.instances)
         yield stack_vol, class_name, stack_tracker.instances
@@ -193,7 +193,7 @@ def tracker_consensus(
                 f"{store_url.rstrip('/')}/{class_name}", shape3d, chunk_size, class_dtype
             )
         else:
-            consensus_vol = np.zeros(shape3d, dtype=dtype)
+            consensus_vol = np.zeros(shape3d, dtype=class_dtype)
 
         fill_volume(consensus_vol, consensus_tracker.instances)
         yield consensus_vol, class_name, consensus_tracker.instances
@@ -298,6 +298,14 @@ class Engine2d:
             confidence_thr=confidence_thr,
             coarse_boundaries=not fine_boundaries,
         )
+        if self.spatial_engine is not None:
+            self.spatial_engine.update_params(
+                label_divisor=label_divisor,
+                nms_threshold=nms_threshold,
+                nms_kernel=nms_kernel,
+                confidence_thr=confidence_thr,
+                coarse_boundaries=not fine_boundaries,
+            )
         self.engine.thing_list = () if semantic_only else tuple(self.thing_list)
         self.engine._build_jits()
 
@@ -499,7 +507,9 @@ class Engine3d:
         )
         stack = self.create_panoptic_stack(axis_name, volume.shape)
 
-        worker = MatcherWorker(matchers, self.labels, self.label_divisor, self.thing_list)
+        worker = MatcherWorker(matchers, self.labels, self.label_divisor,
+                               self.thing_list,
+                               force_connected=self.force_connected)
         with timer.stage("device_inference+forward_matching"):
             for batch in dataset:
                 # enqueue the UNFETCHED device map: the matcher thread's

@@ -89,7 +89,7 @@ def _quantize_variables(variables):
     def q(leaf):
         a = np.asarray(leaf)
         if a.ndim >= 2 and a.size >= _QUANT_MIN_SIZE and np.issubdtype(
-            np.asarray(a, dtype=np.float32).dtype, np.floating
+            a.dtype, np.floating
         ):
             a32 = np.asarray(a, dtype=np.float32)
             axes = tuple(range(a32.ndim - 1))
@@ -109,7 +109,7 @@ def _dequantize_tree(tree, dtype):
             return {k: _dequantize_tree(v, dtype) for k, v in tree.items()}
     else:
         w = np.asarray(tree)
-    if np.issubdtype(np.asarray(w, dtype=np.float32).dtype, np.floating):
+    if np.issubdtype(w.dtype, np.floating):
         return jnp.asarray(w, dtype)
     return jnp.asarray(w)
 

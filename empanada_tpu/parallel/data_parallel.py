@@ -29,7 +29,7 @@ import numpy as np
 
 from empanada_tpu.core.chunked import create_chunked
 from empanada_tpu.core.labeling import decode_runs_packed
-from empanada_tpu.data.volume import VolumeDataset
+from empanada_tpu.data.volume import VolumeDataset, factor_pad_numpy
 from empanada_tpu.ops import postprocess as pp
 from empanada_tpu.parallel.mesh import create_mesh, data_sharding, replicated
 from empanada_tpu.stitch import filters
@@ -81,6 +81,7 @@ class MultiChipEngine3d:
         max_runs_per_row: Optional[int] = None,
         merge_iou_thr: float = 0.25,
         merge_ioa_thr: float = 0.25,
+        force_connected: bool = True,
         model_and_variables=None,
         **kwargs,
     ):
@@ -119,6 +120,7 @@ class MultiChipEngine3d:
         # empanada_napari/inference.py:340-345)
         self.merge_iou_thr = float(merge_iou_thr)
         self.merge_ioa_thr = float(merge_ioa_thr)
+        self.force_connected = bool(force_connected)
         self.compute_dtype = compute_dtype
 
         self.preprocessor = Preprocessor(**model_config["norms"])
@@ -236,13 +238,7 @@ class MultiChipEngine3d:
             if img.ndim == 3:
                 img = img[0]  # (H, W), host-normalized
             size = item["size"]
-            img = np.pad(
-                img,
-                (
-                    (0, (-img.shape[0]) % self.padding_factor),
-                    (0, (-img.shape[1]) % self.padding_factor),
-                ),
-            )
+            img = factor_pad_numpy(img, self.padding_factor)
             batch_imgs.append(img)
             batch_idx.append(item["index"])
             if len(batch_imgs) == b:
@@ -284,7 +280,9 @@ class MultiChipEngine3d:
         matchers = create_matchers(
             self.thing_list, self.label_divisor, self.merge_iou_thr, self.merge_ioa_thr
         )
-        worker = MatcherWorker(matchers, self.labels, self.label_divisor, self.thing_list)
+        worker = MatcherWorker(matchers, self.labels, self.label_divisor,
+                               self.thing_list,
+                               force_connected=self.force_connected)
 
         # Streamed forward + postprocess: only a median-kernel-deep rolling
         # window of sem batches (plus the current batch's ctr/off) is device-

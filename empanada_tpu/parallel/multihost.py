@@ -28,6 +28,12 @@ def initialize_multihost(coordinator_address=None, num_processes=None, process_i
     except RuntimeError:
         # already initialized
         pass
+    except ValueError:
+        # no coordinator detectable from args/env (jax raises ValueError
+        # "coordinator_address should be defined") — the documented
+        # single-process no-op
+        if coordinator_address is not None:
+            raise
     return jax.process_index(), jax.process_count()
 
 

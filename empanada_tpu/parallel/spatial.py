@@ -213,7 +213,32 @@ class SpatialEngine2d:
         self.coarse_boundaries = bool(coarse_boundaries)
         self.max_centers = int(max_centers)
         self.num_classes = int(model.num_classes) + 1
+        self._build()
 
+    def update_params(
+        self,
+        label_divisor=None,
+        nms_threshold=None,
+        nms_kernel=None,
+        confidence_thr=None,
+        coarse_boundaries=None,
+    ):
+        """Live parameter update without reloading the model (same surface
+        as the render engines); the jitted step is rebuilt, so the next call
+        recompiles with the new constants."""
+        if label_divisor is not None:
+            self.label_divisor = int(label_divisor)
+        if nms_threshold is not None:
+            self.nms_threshold = float(nms_threshold)
+        if nms_kernel is not None:
+            self.nms_kernel = int(nms_kernel)
+        if confidence_thr is not None:
+            self.confidence_thr = float(confidence_thr)
+        if coarse_boundaries is not None:
+            self.coarse_boundaries = bool(coarse_boundaries)
+        self._build()
+
+    def _build(self):
         n = self.mesh.devices.size
         axis = list(self.mesh.axis_names)[0]
 

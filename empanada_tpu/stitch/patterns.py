@@ -74,7 +74,8 @@ def apply_matchers(rle_seg: dict, matchers) -> dict:
     return rle_seg
 
 
-def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing_list):
+def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
+                     thing_list, force_connected: bool = True):
     """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
 
     Accepts numpy pan_segs from ``in_queue``; ``None`` items are skipped
@@ -93,12 +94,12 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor, thing
             _, (values, rows, cs, ce), width = pan_seg
             rle_seg = runs_to_rle_seg(
                 values, rows, cs, ce, width,
-                labels, label_divisor, thing_list, force_connected=True,
+                labels, label_divisor, thing_list, force_connected=force_connected,
             )
         else:
             rle_seg = pan_seg_to_rle_seg(
                 np.asarray(pan_seg), labels, label_divisor, thing_list,
-                force_connected=True,
+                force_connected=force_connected,
             )
         rle_seg = apply_matchers(rle_seg, matchers)
         rle_stack.append(rle_seg)
@@ -113,19 +114,21 @@ class MatcherWorker:
     producer: the worker keeps draining the bounded queue after an error so
     ``put`` never blocks forever, and ``finish`` re-raises the exception."""
 
-    def __init__(self, matchers, labels, label_divisor, thing_list, maxsize: int = 8):
+    def __init__(self, matchers, labels, label_divisor, thing_list,
+                 maxsize: int = 8, force_connected: bool = True):
         self.queue = queue.Queue(maxsize=maxsize)
         self.rle_stack = []
         self.error = None
         self._thread = threading.Thread(target=self._run, args=(
-            matchers, labels, label_divisor, thing_list), daemon=True)
+            matchers, labels, label_divisor, thing_list, force_connected),
+            daemon=True)
         self._thread.start()
 
-    def _run(self, matchers, labels, label_divisor, thing_list):
+    def _run(self, matchers, labels, label_divisor, thing_list, force_connected):
         try:
             forward_matching(
                 matchers, self.queue, self.rle_stack, labels, label_divisor,
-                thing_list,
+                thing_list, force_connected,
             )
         except BaseException as exc:  # noqa: BLE001 — re-raised in finish()
             self.error = exc
