@@ -224,7 +224,11 @@ class WeightedBatchLoader:
             idx = self.rng.choice(n, size=n, replace=True, p=p)
         else:
             idx = self.rng.permutation(n)
-        return idx[self.shard :: self.num_shards]
+        # equal shard lengths (truncate the remainder): hosts must iterate
+        # the SAME number of batches or a multi-host jitted step's
+        # collectives deadlock; matches __len__'s n // num_shards
+        n_even = (n // self.num_shards) * self.num_shards
+        return idx[:n_even][self.shard :: self.num_shards]
 
     def __iter__(self):
         idx = self._sample_indices()

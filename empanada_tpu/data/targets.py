@@ -55,13 +55,28 @@ def heatmap_and_offsets(sl2d: np.ndarray, heatmap_sigma: float = 6):
 
 
 def seg_to_instance_bd(seg: np.ndarray, tsz_h: int = 1, do_bg: bool = True) -> np.ndarray:
-    """Instance contours via Sobel edges + dilation (target_creation.py:80).
+    """Instance contours (target_creation.py:80).
 
     seg: (z, h, w) label volume -> (z, h, w) uint8 contour map.
+    ``do_bg=True``: Sobel edges + dilation (boundaries incl. against
+    background).  ``do_bg=False``: only boundaries BETWEEN instances — a
+    pixel whose (2*tsz_h+1)-window contains two different nonzero labels
+    (matching the reference's im2col min/max formulation).
     """
     sz = seg.shape
     bd = np.zeros(sz, np.uint8)
     tsz = tsz_h * 2 + 1
+
+    if not do_bg:
+        mm = int(seg.max())
+        for z in range(sz[0]):
+            slide = np.pad(seg[z], tsz_h, mode="reflect").astype(np.int64)
+            p0 = ndimage.maximum_filter(slide, size=tsz)[tsz_h:-tsz_h, tsz_h:-tsz_h]
+            masked = np.where(slide == 0, mm + 1, slide)
+            p1 = ndimage.minimum_filter(masked, size=tsz)[tsz_h:-tsz_h, tsz_h:-tsz_h]
+            bd[z] = ((p0 != 0) & (p1 != 0) & (p0 != p1)).astype(np.uint8)
+        return bd
+
     sobel = np.array([1, 0, -1])
     sobel_x = sobel.reshape(3, 1)
     sobel_y = sobel.reshape(1, 3)

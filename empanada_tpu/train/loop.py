@@ -81,7 +81,7 @@ def freeze_encoder_mask(params, finetune_layer: str = "none"):
         for prefix in ("layer", "stage"):
             if sub.startswith(prefix):
                 try:
-                    k = int(sub[len(prefix)].split("_")[0])
+                    k = int(sub[len(prefix):].split("_")[0])
                 except (ValueError, IndexError):
                     return True
                 return k > frozen_stages
@@ -164,7 +164,13 @@ def main(config: dict, model_and_state=None):
     os.makedirs(model_dir, exist_ok=True)
 
     norms = dataset_cfg["norms"]
-    num_classes = len(dataset_cfg["labels"])
+    # reference semantics (_train.py:184): multiclass models get a
+    # background channel (n + 1); single-class is sigmoid over 1 channel.
+    # An explicit MODEL.num_classes wins.
+    n_labels = len(dataset_cfg["labels"])
+    num_classes = config.get("MODEL", {}).get(
+        "num_classes", n_labels + 1 if n_labels > 1 else 1
+    )
 
     # ----- mesh (data-parallel multi-chip training) -------------------------
     # reference analog: DistributedWeightedSampler + DDP
@@ -191,11 +197,19 @@ def main(config: dict, model_and_state=None):
             )
         data_shard = data_sharding(mesh)
         repl = replicated(mesh)
-        # multi-host: each process draws a disjoint slice of the sample
-        # stream (per-host batch_size); single-host process_count() == 1
+        # multi-host: batch_size is the GLOBAL batch; each process loads
+        # only its batch_size / process_count rows of it (disjoint sample
+        # streams) and contributes them as its addressable shards.
+        # Single-host process_count() == 1 reduces to the plain loader.
+        n_proc = jax.process_count()
+        if batch_size % (n_proc or 1):
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by "
+                f"{n_proc} processes"
+            )
         loader = WeightedBatchLoader(
-            dataset, batch_size, seed=config.get("seed", 0),
-            shard=jax.process_index(), num_shards=jax.process_count(),
+            dataset, batch_size // n_proc, seed=config.get("seed", 0),
+            shard=jax.process_index(), num_shards=n_proc,
         )
     else:
         loader = WeightedBatchLoader(dataset, batch_size, seed=config.get("seed", 0))
@@ -207,7 +221,7 @@ def main(config: dict, model_and_state=None):
     if model_and_state is None:
         model_config = dict(config["MODEL"])
         arch = model_config.pop("arch")
-        model_config["num_classes"] = num_classes
+        model_config["num_classes"] = int(num_classes)
         compute_dtype = jnp.bfloat16 if train_cfg.get("amp", True) else jnp.float32
         model = create_model(arch, dtype=compute_dtype, **model_config)
 
@@ -271,12 +285,26 @@ def main(config: dict, model_and_state=None):
     model_name = config.get("model_name") or "model"
 
     step_count = 0
+    eval_step = make_eval_step() if metric_specs else None  # one jit cache
     for epoch in range(epochs):
         t_epoch = time.time()
         for batch in loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if multichip:
-                batch = jax.device_put(batch, data_shard)
+            if multichip and jax.process_count() > 1:
+                # assemble the global batch from each process's local rows
+                batch = {
+                    k: jax.make_array_from_process_local_data(
+                        data_shard, np.asarray(v)
+                    )
+                    for k, v in batch.items()
+                }
+            elif multichip:
+                # direct sharded placement (no staging on device 0)
+                batch = {
+                    k: jax.device_put(np.asarray(v), data_shard)
+                    for k, v in batch.items()
+                }
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, aux = train_step(state, batch, rng)
             step_count += 1
             if step_count % print_freq == 0:
@@ -284,7 +312,7 @@ def main(config: dict, model_and_state=None):
                 print(f"epoch {epoch + 1} step {step_count}: loss {loss:.4f}")
                 if metric_specs:
                     # cheap metric on the last batch only
-                    eval_out = make_eval_step()(state, batch["image"])
+                    eval_out = eval_step(state, batch["image"])
                     metrics.evaluate(
                         {k: np.asarray(v) for k, v in eval_out.items()},
                         {k: np.asarray(v) for k, v in batch.items()},
@@ -337,24 +365,43 @@ def validate(config: dict, model, state: TrainState):
         dataset_cfg.get("class_names") or {l: str(l) for l in dataset_cfg["labels"]},
     )
 
-    label_divisor = engine_params.get("label_divisor", 1000)
+    # GT pan_seg comes from running the SAME panoptic postprocess on the
+    # ground-truth sem/heatmap/offsets (reference train.py:449-454) — this
+    # recovers GT instance identities so PQ/F1 compare instances, not one
+    # merged segment per class
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from empanada_tpu.data.volume import factor_pad_numpy
+    from empanada_tpu.ops import postprocess as pp
+
+    pad_factor = int(eval_cfg.get("padding_factor", 128))
+
+    @_jax.jit
+    def _gt_post(sem_hard, ctr_hmp, offsets):
+        return pp.get_panoptic_segmentation(
+            sem_hard, ctr_hmp, offsets, engine.thing_list, engine.label_divisor,
+            engine.stuff_area, engine.void_label, engine.nms_threshold,
+            engine.nms_kernel, engine.num_classes, engine.max_centers,
+        )
+
     for idx in range(len(eval_set)):
         item = eval_set[idx]
         image = item["image"][..., 0] if item["image"].ndim == 3 else item["image"]
-        pan = engine(image.astype(np.float32))
-        # ground-truth pan_seg from sem + instances
-        gt_pan = _target_pan_seg(item, eval_set, label_divisor)
-        out = {"pan_seg": pan, "sem_logits": None}
+        h, w = image.shape
+        # pad to the model's stride factor; crop the prediction back
+        pan = engine(factor_pad_numpy(image.astype(np.float32), pad_factor))
+        pan = np.asarray(pan)[:h, :w]
+        gt_pan = np.asarray(
+            _gt_post(
+                _jnp.asarray(item["sem"])[None],
+                _jnp.asarray(item["ctr_hmp"])[None],
+                _jnp.asarray(item["offsets"])[None],
+            )[0]
+        )
         metrics.evaluate({"pan_seg": pan}, {"pan_seg": gt_pan})
     metrics.display()
     return metrics
-
-
-def _target_pan_seg(item, dataset, label_divisor):
-    """Reconstruct a GT panoptic map from a dataset item's mask targets."""
-    sem = np.asarray(item["sem"])
-    # single-class instance datasets keep instances implicit; use sem only
-    return sem * label_divisor
 
 
 def _crop_size(train_cfg):

@@ -23,10 +23,16 @@ __all__ = [
 
 
 def bootstrap_ce(logits, labels, top_k_percent: float = 0.2):
-    """(B)CE averaged over the top-k% hardest pixels (losses.py:14)."""
+    """(B)CE averaged over the top-k% hardest pixels (losses.py:14).
+
+    Cross-entropy and the top-k reduction run in f32 even under bf16
+    compute — torch autocast does the same (BCE/CE are fp32-listed ops),
+    and reducing ~1M pixel losses in 8 mantissa bits costs percent-level
+    error in the dominant loss term."""
+    logits = logits.astype(jnp.float32)
     if logits.shape[-1] == 1:
         pixel = optax.sigmoid_binary_cross_entropy(
-            logits[..., 0], labels.astype(logits.dtype)
+            logits[..., 0], labels.astype(jnp.float32)
         )
     else:
         pixel = optax.softmax_cross_entropy_with_integer_labels(

@@ -275,3 +275,137 @@ def test_remat_train_step_identical_grads(synthetic_dataset_dir):
     assert float(a1["total_loss"]) == float(a2["total_loss"])
     for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestMulticlass:
+    @pytest.fixture(scope="class")
+    def twoclass_dataset_dir(self, tmp_path_factory):
+        """Panoptic masks with two thing classes (ids class*1000 + k)."""
+        root = tmp_path_factory.mktemp("twoclass")
+        rng = np.random.default_rng(5)
+        d = root / "train" / "source_a"
+        (d / "images").mkdir(parents=True)
+        (d / "masks").mkdir(parents=True)
+        size = 64
+        yy, xx = np.mgrid[0:size, 0:size]
+        for i in range(8):
+            img = rng.normal(0.8, 0.05, (size, size))
+            mask = np.zeros((size, size), dtype=np.int32)
+            for class_id, shade in ((1, 0.25), (2, 0.5)):
+                cy, cx = rng.integers(12, size - 12, 2)
+                r = int(rng.integers(5, 9))
+                blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r**2
+                img[blob] = rng.normal(shade, 0.03)
+                mask[blob] = class_id * 1000 + 1
+            Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+                d / "images" / f"{i:03d}.png"
+            )
+            Image.fromarray(mask.astype(np.uint16)).save(d / "masks" / f"{i:03d}.png")
+        return str(root)
+
+    def test_multiclass_gets_background_channel(self, twoclass_dataset_dir, tmp_path):
+        """len(labels)==2 must build an n+1=3 channel model (reference
+        _train.py:184) — with 2 channels, label 2 is silently untrainable."""
+        config = {
+            "model_name": "twoclass",
+            "seed": 0,
+            "MODEL": {
+                "arch": "PanopticDeepLab",
+                "encoder": "resnet18",
+                "decoder_channels": 32,
+                "low_level_stages": [1],
+                "low_level_channels_project": [16],
+                "ins_decoder": True,
+            },
+            "DATASET": {
+                "class_names": {1: "a", 2: "b"},
+                "labels": [1, 2],
+                "thing_list": [1, 2],
+                "norms": {"mean": 0.6, "std": 0.2},
+            },
+            "TRAIN": {
+                "train_dir": os.path.join(twoclass_dataset_dir, "train"),
+                "model_dir": str(tmp_path),
+                "save_freq": 100,
+                "amp": False,
+                "epochs": 1,
+                "batch_size": 4,
+                "print_freq": 100,
+                "criterion": "PanopticLoss",
+                "schedule_params": {"max_lr": 1e-3},
+                "dataset_class": "PanopticDataset",
+                "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+                "metrics": [],
+            },
+        }
+        model, state = T.main(config)
+        assert model.num_classes == 3
+        from empanada_tpu.train.state import make_eval_step
+
+        out = make_eval_step()(state, jnp.zeros((1, 64, 64, 1)))
+        assert out["sem_logits"].shape[-1] == 3
+
+
+def test_validate_compares_instances(synthetic_dataset_dir, tmp_path):
+    """validate() must recover GT instance identities via the panoptic
+    postprocess (reference train.py:449-454), not one merged segment."""
+    config = {
+        "model_name": "tiny",
+        "seed": 0,
+        "MODEL": {
+            "arch": "PanopticDeepLab",
+            "encoder": "resnet18",
+            "decoder_channels": 32,
+            "low_level_stages": [1],
+            "low_level_channels_project": [16],
+            "ins_decoder": True,
+        },
+        "DATASET": {
+            "class_names": {1: "blob"},
+            "labels": [1],
+            "thing_list": [1],
+            "norms": {"mean": 0.6, "std": 0.2},
+        },
+        "TRAIN": {
+            "train_dir": os.path.join(synthetic_dataset_dir, "train"),
+            "model_dir": str(tmp_path),
+            "amp": False,
+            "epochs": 1,
+            "batch_size": 4,
+            "criterion": "PanopticLoss",
+            "schedule_params": {"max_lr": 1e-3},
+            "dataset_class": "SingleClassInstanceDataset",
+            "augmentations": [{"aug": "RandomCrop", "height": 64, "width": 64}],
+            "metrics": [],
+        },
+        "EVAL": {
+            "eval_dir": os.path.join(synthetic_dataset_dir, "eval"),
+            "padding_factor": 16,
+            "engine_params": {"label_divisor": 1000, "confidence_thr": 0.5},
+            "metrics": [{"metric": "F1", "name": "F1_50", "label_divisor": 1000,
+                         "iou_thr": 0.5}],
+        },
+    }
+    model, state = T.main(config)
+    metrics = T.validate(config, model, state)
+    # the GT side must contain >1 instance for multi-blob images: verify by
+    # reconstructing it the same way validate does
+    from empanada_tpu.data.datasets import create_dataset
+    from empanada_tpu.data.augment import create_augmentations
+    from empanada_tpu.ops import postprocess as pp
+
+    tfs = create_augmentations([{"aug": "Normalize", **config["DATASET"]["norms"]}])
+    eval_set = create_dataset(
+        "SingleClassInstanceDataset",
+        config["EVAL"]["eval_dir"], transforms=tfs, weight_gamma=0.3,
+    )
+    item = eval_set[0]
+    gt = np.asarray(
+        pp.get_panoptic_segmentation(
+            jnp.asarray(item["sem"])[None],
+            jnp.asarray(item["ctr_hmp"])[None],
+            jnp.asarray(item["offsets"])[None],
+            (1,), 1000, 64, 0, 0.1, 7, 2, 64,
+        )[0]
+    )
+    assert len(np.unique(gt[gt > 0])) > 1, "GT should carry multiple instances"
