@@ -46,15 +46,22 @@ def _load_array(path: str):
 
 
 def _save_labels(path: str, labels: np.ndarray):
+    """Write exactly the requested path (the printed path must be the file
+    on disk): .npy via numpy, everything else as a (multipage) tiff/png via
+    PIL under the requested extension."""
+    labels = np.asarray(labels)
     if path.endswith(".npy"):
         np.save(path, labels)
-    else:
-        from empanada_tpu.curation.export import export_segmentations
+        return
+    from PIL import Image
 
-        export_segmentations(
-            labels, os.path.dirname(path) or ".",
-            prefix=os.path.splitext(os.path.basename(path))[0], as_stack=True,
-        )
+    from empanada_tpu.curation.export import _to_saveable
+
+    if labels.ndim == 2:
+        Image.fromarray(_to_saveable(labels)).save(path)
+    else:
+        frames = [Image.fromarray(_to_saveable(sl)) for sl in labels]
+        frames[0].save(path, save_all=True, append_images=frames[1:])
 
 
 def _model_config(name_or_path: str) -> dict:
@@ -180,7 +187,8 @@ def cmd_infer2d(args):
             print(f"combined class {cid}: {cname}")
 
     _save_labels(args.output, pan)
-    n = (np.unique(pan) > args.label_divisor).sum()
+    u = np.unique(pan)
+    n = int((u % args.label_divisor > 0).sum())  # stuff ids are exact multiples
     print(f"wrote {args.output}: {pan.shape}, {n} instances")
 
 
@@ -277,6 +285,12 @@ def cmd_evaluate(args):
     print(json.dumps({k: float(v) for k, v in results.items()}, indent=2))
 
 
+def _require(args, parser_hint: str, **needed):
+    for flag, value in needed.items():
+        if value is None:
+            raise SystemExit(f"{parser_hint}: --{flag} is required")
+
+
 def cmd_models(args):
     from empanada_tpu.api import archive_model, export_model, get_configs, import_model
 
@@ -284,10 +298,13 @@ def cmd_models(args):
         for name, path in sorted(get_configs().items()):
             print(f"{name}\t{path}")
     elif args.action == "export":
+        _require(args, "models export", name=args.name, path=args.path)
         print(export_model(args.name, args.path, quantize=args.quantize))
     elif args.action == "import":
+        _require(args, "models import", path=args.path)
         print(import_model(args.path, model_name=args.name))
     elif args.action == "archive":
+        _require(args, "models archive", name=args.name, path=args.path)
         print(archive_model(args.name, args.path))
 
 
@@ -295,6 +312,7 @@ def cmd_tiles(args):
     from empanada_tpu.curation import chop_into_tiles, merge_tiles
 
     if args.action == "chop":
+        _require(args, "tiles chop", image=args.image)
         meta = chop_into_tiles(args.image, args.dir, patch_size=args.patch_size,
                                mask_path=args.mask)
         print(json.dumps(meta))

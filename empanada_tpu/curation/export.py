@@ -38,6 +38,12 @@ def export_segmentations(
     labels = np.asarray(labels)
     if labels.ndim == 2:
         labels = labels[None]
+    if image is not None:
+        image = np.asarray(image)
+        if image.ndim == 2:
+            # promote like labels: leading slice axis (np.atleast_3d would
+            # append the axis at the END, writing h frames of (w, 1))
+            image = image[None]
     written = []
 
     if as_stack:
@@ -46,7 +52,7 @@ def export_segmentations(
         frames[0].save(path, save_all=True, append_images=frames[1:])
         written.append(path)
         if image is not None:
-            frames = [Image.fromarray(np.asarray(sl)) for sl in np.atleast_3d(image)]
+            frames = [Image.fromarray(np.asarray(sl)) for sl in image]
             path = os.path.join(save_dir, f"{prefix}_image.tiff")
             frames[0].save(path, save_all=True, append_images=frames[1:])
             written.append(path)

@@ -32,6 +32,28 @@ def _disk(radius: int, ndim: int) -> np.ndarray:
     return dist2 <= radius**2
 
 
+def _bboxes_of_many(labels: np.ndarray, label_ids, pad: int = 0):
+    """{label_id: box} for many labels in ONE pass (ndimage.find_objects)
+    — a per-label full-array scan is O(n_labels * n_pixels).  Falls back to
+    per-label scans when label values are too large to index a slot list."""
+    from scipy import ndimage
+
+    max_id = int(max(label_ids))
+    if max_id > 5_000_000:  # find_objects allocates max_id slots
+        return {l: _bbox_of(labels, l, pad) for l in label_ids}
+    objs = ndimage.find_objects(labels, max_label=max_id)
+    out = {}
+    for l in label_ids:
+        sl = objs[int(l) - 1] if 0 < int(l) <= len(objs) else None
+        if sl is None:
+            out[l] = None
+            continue
+        box = [max(0, s.start - pad) for s in sl]
+        box += [min(dim, s.stop + pad) for s, dim in zip(sl, labels.shape)]
+        out[l] = box
+    return out
+
+
 def _bbox_of(labels: np.ndarray, label_id: int, pad: int = 0):
     where = np.where(labels == label_id)
     if len(where[0]) == 0:
@@ -113,8 +135,14 @@ def morph_labels(
     ndim = 2 if per_slice else labels.ndim
     se = _disk(radius, ndim)
 
+    # one-pass boxes for big selections; fill_holes stays per-label because
+    # its result depends on the crop border (holes touching it are kept)
+    boxes = (
+        _bboxes_of_many(labels, label_ids, pad=radius)
+        if len(label_ids) > 8 and operation != "fill_holes" else None
+    )
     for label_id in label_ids:
-        box = _bbox_of(labels, label_id, pad=radius)
+        box = boxes[label_id] if boxes is not None else _bbox_of(labels, label_id, pad=radius)
         if box is None:
             continue
         slices = _box_slices(box)
@@ -143,7 +171,7 @@ def delete_labels(labels: np.ndarray, label_ids=None, points=None) -> np.ndarray
     """Zero out the selected labels (reference _merge_split_widget.py:212)."""
     if points is not None:
         label_ids = labels_at_points(labels, points)
-    if not label_ids:
+    if label_ids is None or len(label_ids) == 0:
         return labels
     labels[np.isin(labels, list(label_ids))] = 0
     return labels
@@ -185,7 +213,7 @@ def merge_labels(labels: np.ndarray, label_ids=None, points=None, lines=None,
                  new_label=None) -> np.ndarray:
     """Merge the selected labels into one id (the smallest selected, or
     ``new_label``); points and rasterized lines both select labels."""
-    selected = list(label_ids or [])
+    selected = [] if label_ids is None else list(label_ids)
     if points is not None:
         selected += labels_at_points(labels, points)
     if lines is not None:

@@ -92,6 +92,11 @@ def pick_flipbooks(
 
     for axis, coord in picks:
         depth = volume.shape[axis]
+        if depth < FLIPBOOK_DEPTH:
+            raise ValueError(
+                f"volume is only {depth} deep along axis {axis}; flipbooks "
+                f"need >= {FLIPBOOK_DEPTH} slices"
+            )
         mid = int(np.clip(coord[axis], FLIPBOOK_DEPTH // 2, depth - 1 - FLIPBOOK_DEPTH // 2))
         sel = [slice(None)] * 3
         sel[axis] = slice(mid - FLIPBOOK_DEPTH // 2, mid + FLIPBOOK_DEPTH // 2 + 1)

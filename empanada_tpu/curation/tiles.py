@@ -36,7 +36,13 @@ def chop_into_tiles(image_path: str, save_directory: str, patch_size: int = 2048
     padded_shape = (original_shape[0] + pad_h, original_shape[1] + pad_w)
 
     msk = None
-    if mask_path is not None and os.path.exists(mask_path):
+    if mask_path is not None:
+        if not os.path.exists(mask_path):
+            raise FileNotFoundError(
+                f"mask file {mask_path!r} does not exist (an explicitly "
+                "provided mask must be loadable — a typo here would "
+                "silently chop without masks)"
+            )
         msk = _load_image(mask_path)
         assert msk.shape == im.shape
 
@@ -84,6 +90,8 @@ def merge_tiles(patch_directory: str, save_directory: str) -> dict:
     original_shape = tuple(metadata["original_image_shape"])
     padded_shape = tuple(metadata["padded_image_shape"])
     patch_size = metadata["patch_size"]
+    ny = padded_shape[0] // patch_size
+    nx = padded_shape[1] // patch_size
 
     os.makedirs(save_directory, exist_ok=True)
     out_paths = {}
@@ -92,6 +100,13 @@ def merge_tiles(patch_directory: str, save_directory: str) -> dict:
         if not os.path.isdir(d):
             continue
         files = sorted(f for f in os.listdir(d) if f.lower().endswith((".tif", ".tiff")))
+        if not files:
+            raise FileNotFoundError(f"no tiff tiles in {d!r} — nothing to merge")
+        if len(files) != ny * nx:
+            raise ValueError(
+                f"{d!r} holds {len(files)} tiles but the metadata grid is "
+                f"{ny}x{nx} = {ny * nx} — refusing a partial merge"
+            )
         first = np.asarray(Image.open(os.path.join(d, files[0])))
         merged = np.zeros(padded_shape, dtype=first.dtype)
         for fn in files:
