@@ -227,11 +227,7 @@ class PointRendSemSegHead(nn.Module):
         """
         from empanada_tpu.ops import pallas_pointrend as ppr
 
-        if self.fused_render not in ("never", "auto", "always", "interpret"):
-            raise ValueError(
-                f"fused_render={self.fused_render!r}: expected 'auto', "
-                "'never', 'always', or 'interpret'"
-            )
+        # fused_render is validated once in setup()
         if self.fused_render in ("never", "auto"):
             return False
         if self.fused_render == "always" and jax.default_backend() != "tpu":

@@ -102,6 +102,12 @@ class ResNet(nn.Module):
         kw = dict(dtype=self.dtype, int8_execution=self.int8_execution)
         if self.block == "bottleneck":
             kw.update(groups=self.groups, base_width=self.width_per_group, dilation=dilation)
+        # BasicBlock at output_stride 16: layer4 runs stride 1 WITHOUT
+        # dilation.  The reference cannot express this config at all (its
+        # BasicBlock raises for dilation > 1, torchvision resnet.py:53), so
+        # no reference weights exist to mis-port; here it is a deliberate
+        # extension — geometry matches os16, receptive field is that of the
+        # un-dilated blocks.  Documented in PARITY.md "Known divergences".
         x = block_cls(planes, stride=stride, downsample=need_ds, name=f"{name}_block1", **kw)(x, train)
         for i in range(1, blocks):
             x = block_cls(planes, name=f"{name}_block{i + 1}", **kw)(x, train)

@@ -115,6 +115,10 @@ def find_instance_center(
     h, w = ctr_hmp.shape[1], ctr_hmp.shape[2]
     t = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
     pooled = max_pool_2d(t, nms_kernel, 1, nms_kernel // 2)
+    if nms_kernel % 2 == 0:
+        # even kernels pool to (H+1, W+1); clip the last row/column to keep
+        # the size (reference postprocess.py:63-66)
+        pooled = pooled[:, :-1, :-1, :]
     keep = (t == pooled) & (t > 0)
     keep_flat = keep[0, :, :, 0].reshape(-1)
 
@@ -263,18 +267,28 @@ def merge_semantic_and_instance(
     prior_same_class = jnp.cumsum(class_onehot, axis=0) - class_onehot
     new_ids = (prior_same_class * class_onehot).sum(axis=1) + 1  # (K,)
 
-    pan_id_of_inst = inst_class * label_divisor + new_ids  # (K,)
-    pan_id_of_inst = jnp.where(inst_valid, pan_id_of_inst, void_label)
-
-    # per-pixel pan id via a matvec on the same one-hot (a 2M-element gather
-    # from the id table costs ~20ms on TPU; this costs ~1ms)
-    pan_thing = jnp.einsum(
-        "pk,k->p", oh_ins, pan_id_of_inst.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32).reshape(sem.shape)
+    # per-pixel pan id via matvecs on the same one-hot (a 2M-element gather
+    # from the id table costs ~20ms on TPU; this costs ~1ms).  The id is
+    # computed as class * divisor + new_id from TWO small-valued matvecs:
+    # TPU default matmul precision feeds bf16 into the MXU, which is exact
+    # for integer values <= 256 but would round a combined id like 1001 to
+    # 1000 — silently merging instances on device while CPU tests stay
+    # exact.  Larger static bounds upgrade to HIGHEST (multi-pass f32).
+    prec_cls = None if c <= 256 else jax.lax.Precision.HIGHEST
+    prec_new = None if k <= 256 else jax.lax.Precision.HIGHEST
+    pan_cls = jnp.einsum(
+        "pk,k->p", oh_ins, inst_class.astype(jnp.float32),
+        precision=prec_cls, preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    pan_new = jnp.einsum(
+        "pk,k->p", oh_ins, new_ids.astype(jnp.float32),
+        precision=prec_new, preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    pan_thing = (pan_cls * label_divisor + pan_new).reshape(sem.shape)
 
     pan = jnp.full_like(sem, void_label)
-    pan = jnp.where(thing_px, jnp.where(ins > 0, pan_thing, void_label), pan)
+    # thing_px implies ins > 0, so pan_thing is always a real instance here
+    pan = jnp.where(thing_px, pan_thing, pan)
 
     # stuff classes: paint class*divisor where area (outside things) is large
     for class_id in range(num_classes):
@@ -332,9 +346,11 @@ def encode_runs_packed(pan: jnp.ndarray, max_runs: int) -> jnp.ndarray:
     scatter, so starts come out column-ascending per row.
 
     Args:
-        pan: (B, H, W) integer panoptic maps; values must fit int16
-             (num_classes * label_divisor + max_centers <= 32767 — the
-             caller checks and falls back to dense transfer otherwise).
+        pan: (B, H, W) integer panoptic maps; values must fit UNSIGNED
+             16-bit (num_classes * label_divisor + max_centers <= 65535 —
+             the caller checks and falls back to dense transfer otherwise;
+             the decoder reads values back with ``& 0xFFFF``).  Only run
+             starts (column indices, < W) are bounded by signed int16.
         max_runs: per-row run capacity R. Rows with more runs signal
              overflow via their count; the caller falls back to dense.
 
