@@ -66,6 +66,17 @@ class ChunkedArray:
                 f"{meta['compressor']!r}); the built-in reader handles "
                 "uncompressed v2 only"
             )
+        if meta.get("order", "C") != "C":
+            raise UnsupportedStoreError(
+                f"{path}: order={meta.get('order')!r} store; the built-in "
+                "reader handles C-order only (F-order bytes would be "
+                "silently transposed)"
+            )
+        if meta.get("filters"):
+            raise UnsupportedStoreError(
+                f"{path}: store uses filters={meta['filters']!r}; the "
+                "built-in reader decodes raw uncompressed chunks only"
+            )
         dtype = _DTYPE_MAP.get(meta["dtype"], None) or np.dtype(meta["dtype"])
         return cls(path, meta["shape"], meta["chunks"], dtype, meta.get("fill_value", 0))
 
@@ -124,7 +135,14 @@ class ChunkedArray:
                 out.append(slice(s, s + 1))
                 squeeze.append(i)
             elif isinstance(s, slice):
-                out.append(slice(*s.indices(self.shape[i])))
+                start, stop, step = s.indices(self.shape[i])
+                if step != 1:
+                    raise NotImplementedError(
+                        "ChunkedArray slicing supports step 1 only (a "
+                        "stepped slice would silently return unstrided "
+                        "data)"
+                    )
+                out.append(slice(start, stop))
             else:
                 raise TypeError(f"unsupported index {s!r}")
         return out, squeeze

@@ -264,14 +264,23 @@ def box_overlap_pairs(boxes1, boxes2=None) -> np.ndarray:
 def chunk_split_ranges(ranges, modulo: int, divisor: int) -> np.ndarray:
     lib = _load()
     r = _as_i64(ranges).reshape(-1, 2)
-    # capacity: each range can cross at most ceil(len/divisor)+1 boundaries
+    # capacity estimate: a range splits at divisor boundaries AND at every
+    # modulo wrap (when chunk dims don't divide the array shape each wrap
+    # adds a piece the divisor quotient alone misses) — grow on overflow
+    # instead of failing, the kernel reports -1
     lens = (r[:, 1] - r[:, 0]) if len(r) else np.zeros(0, dtype=np.int64)
-    cap = int(len(r) + (lens // max(divisor, 1)).sum() + len(r) + 8)
-    out = np.empty((cap, 2), dtype=np.int64)
-    n_out = lib.chunk_split_ranges(_i64p(r), len(r), int(modulo), int(divisor), _i64p(out), cap)
-    if n_out < 0:
-        raise RuntimeError("chunk_split_ranges capacity overflow")
-    return out[:n_out].copy()
+    cap = int(
+        2 * len(r) + (lens // max(divisor, 1)).sum()
+        + (lens // max(modulo, 1)).sum() + 8
+    )
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        n_out = lib.chunk_split_ranges(
+            _i64p(r), len(r), int(modulo), int(divisor), _i64p(out), cap
+        )
+        if n_out >= 0:
+            return out[:n_out].copy()
+        cap *= 4
 
 
 def extract_runs(seg: np.ndarray):

@@ -71,8 +71,6 @@ def string_to_rle(encoding: str):
     return vals[::2].copy(), vals[1::2].copy()
 
 
-def _sorted_disjoint(r: np.ndarray) -> bool:
-    return len(r) < 2 or bool(np.all(r[1:, 0] >= r[:-1, 1]))
 
 
 def merge_rles(starts_a, runs_a, starts_b=None, runs_b=None):
@@ -89,7 +87,7 @@ def merge_rles(starts_a, runs_a, starts_b=None, runs_b=None):
         rb = np.stack([starts_b, np.asarray(starts_b) + np.asarray(runs_b)], axis=1)
         from empanada_tpu.core import native
 
-        if native.available() and _sorted_disjoint(ra) and _sorted_disjoint(rb):
+        if native.available() and R._sorted_disjoint(ra) and R._sorted_disjoint(rb):
             rle = R.ranges_to_rle(native.range_union(ra, rb))
             return rle[:, 0], rle[:, 1]
         list_of_ranges = [ra, rb]

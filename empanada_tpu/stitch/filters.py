@@ -89,8 +89,42 @@ def regions_3d(mask: np.ndarray) -> dict:
     return out
 
 
+def _force_connected_relabel(mask, labels, label_divisor, thing_list):
+    """Per-class connected-component relabel of a dense label map — the
+    reference re-runs its cc relabel after every morphology round trip
+    (filters.py:158-176 via its pan_seg_to_rle_seg copy), so instances
+    split by erosion become separate ids.  Components are relabeled
+    per original instance within its bbox (multilabel cc: different ids
+    never merge), numbered sequentially from class_id * divisor + 1."""
+    max_id = int(mask.max(initial=0))
+    if max_id == 0:
+        return mask
+    out = mask.copy()
+    structure = np.ones((3,) * mask.ndim, dtype=bool)  # cc3d-default 8/26-conn
+    objs = ndimage.find_objects(mask, max_label=max_id)
+    for label in labels:
+        if label not in thing_list:
+            continue
+        lo = label * label_divisor
+        hi = min((label + 1) * label_divisor, max_id + 1)
+        next_id = lo + 1
+        for val in range(lo, hi):
+            sl = objs[val - 1] if val >= 1 else None
+            if sl is None:
+                continue
+            binary = mask[sl] == val
+            cc, n = ndimage.label(binary, structure=structure)
+            view = out[sl]
+            for comp in range(1, n + 1):
+                view[cc == comp] = next_id
+                next_id += 1
+    return out
+
+
 def _dense_to_tracker_instances(mask, labels, label_divisor, thing_list):
-    """Re-encode a dense label volume into instance records (labels as-is)."""
+    """Re-encode a dense label volume into instance records, re-enforcing
+    per-class connected components first (reference filter semantics)."""
+    mask = _force_connected_relabel(mask, labels, label_divisor, thing_list)
     if mask.ndim == 2:
         v, r, cs, ce = extract_runs(mask)
         return runs_to_regions(v, r, cs, ce, width=mask.shape[-1])

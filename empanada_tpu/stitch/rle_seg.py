@@ -78,6 +78,15 @@ def runs_to_rle_seg(
 
         if force_connected and label in thing_list and len(v) > 0:
             comp = connected_components_runs(v, r, s, e, connectivity=8)
+            if int(comp.max(initial=0)) >= label_divisor:
+                # the reference silently spills ids into the next class's
+                # window here (its cc relabel has no bound check); fail
+                # loudly instead — silent class reassignment is worse
+                raise ValueError(
+                    f"class {label}: {int(comp.max())} connected components "
+                    f"exceed label_divisor={label_divisor}; raise the "
+                    "label divisor"
+                )
             v = comp + min_id
 
         rle_seg[label] = runs_to_regions(v, r, s, e, width=w)

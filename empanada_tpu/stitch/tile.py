@@ -25,6 +25,12 @@ def tile_ranges_1d(length: int, tile: int, min_overlap: int):
     tile = min(tile, length)
     if tile == length:
         return [(0, length)]
+    if min_overlap >= tile:
+        raise ValueError(
+            f"overlap ({min_overlap}) must be smaller than the tile size "
+            f"({tile}) — equal/larger overlap cannot advance and would "
+            "leave most of the image untiled"
+        )
     # minimum tile count such that overlap >= min_overlap:
     # n tiles cover n*tile - (n-1)*overlap >= length with overlap >= min_overlap
     # -> n >= (length - min_overlap) / (tile - min_overlap)
