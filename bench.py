@@ -15,11 +15,13 @@ Baseline: the reference's own CPU-torch path (its QuantizablePanopticDeepLabPR
 measured on this host = 0.142 Mvox/s (single-core host; re-measure with
 --measure-baseline).  The reference publishes no numbers (BASELINE.md).
 
-Current: ~76 Mvox/s/chip (535x CPU-torch).  History: 32.4 (first jit
+Current: ~84 Mvox/s/chip (~590x CPU-torch).  History: 32.4 (first jit
 pipeline) -> 68.3 (device-pipeline overlap, one-hot-matmul postprocess) ->
 75.9 (space-to-depth stem rewrite, radix-select PointRend threshold,
 launch-overhead-cancelled timing; inputs switched to blob-structured like
-the reference's test fixtures — noise is pathological for PointRend).
+the reference's test fixtures — noise is pathological for PointRend) ->
+83.8 (corner-packed single-gather point_sample, split-dense low-res
+PointRend FC head).
 
 int8 A/B (--int8, round 2): selective s8xs8 MXU execution for wide 3x3
 encoder convs measures ~2x on isolated stage4 dilated convs
