@@ -73,7 +73,11 @@ class MedianQueue:
         return out
 
     def end(self):
-        return list(self.queue)[self.mid_idx + 1:]
+        """Drain the tail AND clear the queue: a reused engine's next run
+        must start from passthrough/fill semantics, not a stale window."""
+        tail = list(self.queue)[self.mid_idx + 1:]
+        self.queue.clear()
+        return tail
 
 
 class _EngineBase:
@@ -345,8 +349,10 @@ class BCEngine(_EngineBase):
         return {"bc": jnp.concatenate([sem, cnt], axis=-1)}  # (1, H, W, 2)
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
-        x = self._to_device_image(image)
-        return np.asarray(self.infer(x)["bc"][0])
+        h, w = image.shape[-2:]
+        x = pp.factor_pad(self._to_device_image(image), self.padding_factor,
+                          buckets=self.shape_buckets)
+        return np.asarray(self.infer(x)["bc"][0, :h, :w])
 
 
 class BCEngine3d(BCEngine):
@@ -365,7 +371,9 @@ class BCEngine3d(BCEngine):
         median_out = self.median.get_next(keys=["bc"])
         if median_out is None:
             return None
-        return np.asarray(median_out["bc"][0, :h, :w])
+        # crop with the MIDDLE slice's recorded size, not this call's
+        mh, mw = median_out["size"]
+        return np.asarray(median_out["bc"][0, :mh, :mw])
 
     def end(self, upsampling: int = 1):
         return [np.asarray(o["bc"][0, : o["size"][0], : o["size"][1]]) for o in self.median.end()]

@@ -23,24 +23,6 @@ __all__ = [
 ]
 
 
-def _axis_weights(in_size: int, out_size: int, align_corners: bool):
-    """Static source indices and lerp weights for 1D resize (numpy).
-
-    Returns (idx0, idx1, w1) such that out[i] = in[idx0[i]]*(1-w1[i]) +
-    in[idx1[i]]*w1[i].
-    """
-    out_pos = np.arange(out_size, dtype=np.float64)
-    if align_corners and out_size > 1:
-        src = out_pos * (in_size - 1) / (out_size - 1)
-    else:
-        src = (out_pos + 0.5) * (in_size / out_size) - 0.5
-    src = np.clip(src, 0.0, in_size - 1)
-    idx0 = np.floor(src).astype(np.int32)
-    idx1 = np.minimum(idx0 + 1, in_size - 1)
-    w1 = (src - idx0).astype(np.float32)
-    return idx0, idx1, w1
-
-
 def _resize_matrix(in_size: int, out_size: int, align_corners: bool,
                    zeros_padding: bool = False) -> np.ndarray:
     """Dense (out, in) interpolation matrix for 1D bilinear resize.
@@ -144,11 +126,14 @@ def grid_sample(
         return out * valid[..., None].astype(features.dtype)
 
     if mode == "nearest":
-        # torch nearest rounds half away? it uses round-half-to-even via
-        # floor(x+0.5) in practice; jnp.round is half-to-even. floor(x+.5)
-        iy = jnp.floor(py + 0.5).astype(jnp.int32)
-        ix = jnp.floor(px + 0.5).astype(jnp.int32)
+        # torch CPU grid_sample nearest uses std::nearbyint =
+        # round-half-to-even; jnp.round matches (floor(x+0.5) would round
+        # half-integers up, off by one pixel at exact .5 coordinates)
+        iy = jnp.round(py).astype(jnp.int32)
+        ix = jnp.round(px).astype(jnp.int32)
         return gather(iy, ix)
+    if mode != "bilinear":
+        raise ValueError(f"grid_sample mode {mode!r}: expected 'bilinear' or 'nearest'")
 
     ix0 = jnp.floor(px).astype(jnp.int32)
     iy0 = jnp.floor(py).astype(jnp.int32)

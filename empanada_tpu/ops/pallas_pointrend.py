@@ -345,6 +345,16 @@ def fused_refine_step(
     fdim = feat_pack.shape[3] - _CCH
     sf = h2 // hc
     assert sf in (2, 4, 8) and h2 % TILE_H == 0 and w2 % TILE_W == 0
+    # isotropy + channel-packing contracts: the phase geometry assumes the
+    # same x/y scale, and the kernel tiles feat channels in 128-lane chunks
+    # with the coarse block appended — violating either computes silently
+    # wrong logits rather than raising downstream
+    assert w2 // wc == sf, (
+        f"anisotropic upsample: h-scale {sf} != w-scale {w2 // wc}"
+    )
+    assert fdim % 128 == 0, (
+        f"feature dim {fdim} must be a multiple of 128 (lane tiling)"
+    )
 
     up = bilinear_resize(sem, (h2, w2), align_corners=False)
     kth = kth_smallest_nonneg(

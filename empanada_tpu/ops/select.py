@@ -69,15 +69,23 @@ def top_k_mask_indices(x: jnp.ndarray, k: int, block: int = 128) -> jnp.ndarray:
     backends); the hot paths use top_k for indices and the radix select
     for threshold values only.
 
-    Returns (n, k) int32 indices in ASCENDING (scanline) order.  When the
-    k-th value ties, an arbitrary k-subset of the tied positions is
-    selected (torch.topk's tie resolution is likewise unspecified — see
-    PARITY.md "PointRend top-k ties").  Rows with fewer than k finite
-    entries repeat index 0 in the tail slots.
+    Returns (n, k) int32 indices: the strictly-above-threshold positions in
+    ascending (scanline) order first, then tie positions (ascending among
+    themselves) filling the remaining slots — NOT globally sorted when ties
+    fill the tail.  When the k-th value ties, an arbitrary k-subset of the
+    tied positions is selected (torch.topk's tie resolution is likewise
+    unspecified — see PARITY.md "PointRend top-k ties").  Rows with fewer
+    than k finite entries repeat index 0 in the tail slots; ``k >= m``
+    pads with index 0 beyond the first m slots.
     """
     n, m = x.shape
     if k >= m:
-        return jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (n, m))
+        base = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (n, m))
+        if k == m:
+            return base
+        return jnp.concatenate(
+            [base, jnp.zeros((n, k - m), dtype=jnp.int32)], axis=1
+        )
     assert m % block == 0
     kth = kth_largest(x, k)
     xf = x.astype(jnp.float32)
