@@ -8,6 +8,8 @@ without them installed works; CREATING a widget raises an informative error.
 
 from __future__ import annotations
 
+from typing import List  # noqa: F401 - resolved by magicgui's type hints
+
 import numpy as np
 
 __all__ = [
@@ -47,6 +49,13 @@ def _magicgui():
             "(`python -m empanada_tpu.cli`) provides the same features."
         ) from e
     return magicgui
+
+
+def _points(points_layer):
+    """Points layer -> int ndarray of coordinates (or None when empty)."""
+    if points_layer is not None and len(points_layer.data):
+        return np.asarray(points_layer.data).astype(int)
+    return None
 
 
 def _model_choices():
@@ -129,7 +138,7 @@ def volume_inference_widget():
         min_extent: int = 5,
         pixel_vote_thr: int = 2,
         allow_one_view: bool = False,
-    ) -> "napari.types.LayerDataTuple":  # noqa: F821
+    ) -> "List[napari.types.LayerDataTuple]":  # noqa: F821
         from empanada_tpu import api
         from empanada_tpu.api.utils import get_configs
 
@@ -163,8 +172,12 @@ def volume_inference_widget():
                     min_size=min_size, min_extent=min_extent,
                 )
             )
-        vol, class_name, _ = outs[0]
-        return (np.asarray(vol), {"name": f"{class_name}_seg"}, "labels")
+        # one Labels layer per segmentation class (reference
+        # _volume_inference.py adds a layer per class)
+        return [
+            (np.asarray(vol), {"name": f"{class_name}_seg"}, "labels")
+            for vol, class_name, _ in outs
+        ]
 
     return widget
 
@@ -218,9 +231,7 @@ def _labels_op_widget(op_name, call_button):
         labels_layer: "napari.layers.Labels",  # noqa: F821
         points_layer: "napari.layers.Points" = None,  # noqa: F821
     ):
-        points = None
-        if points_layer is not None and len(points_layer.data):
-            points = np.asarray(points_layer.data).astype(int)
+        points = _points(points_layer)
         fn = getattr(ops, op_name)
         labels_layer.data = fn(np.asarray(labels_layer.data), points=points)
         if points_layer is not None:
@@ -255,9 +266,7 @@ def morph_labels_widget():
     ):
         from empanada_tpu.curation.ops import morph_labels
 
-        points = None
-        if points_layer is not None and len(points_layer.data):
-            points = np.asarray(points_layer.data).astype(int)
+        points = _points(points_layer)
         labels_layer.data = morph_labels(
             np.asarray(labels_layer.data), points=points, operation=operation,
             radius=radius, hole_size=hole_size, apply3d=apply3d,
@@ -280,9 +289,7 @@ def split_labels_widget():
     ):
         from empanada_tpu.curation.ops import split_labels
 
-        points = None
-        if points_layer is not None and len(points_layer.data):
-            points = np.asarray(points_layer.data).astype(int)
+        points = _points(points_layer)
         labels_layer.data = split_labels(
             np.asarray(labels_layer.data), points=points,
             min_distance=min_distance, points_as_markers=points_as_markers,
@@ -339,7 +346,9 @@ def jump_to_label_widget():
         center = [(box[i] + box[i + nd]) // 2 for i in range(nd)]
         if nd == 3:
             viewer.dims.set_point(0, int(center[0]))
-        viewer.camera.center = tuple(float(c) for c in center[-2:])
+        # Camera.center is always a (z, y, x) 3-tuple in napari; the z
+        # component is unused in 2D display mode
+        viewer.camera.center = (0.0, float(center[-2]), float(center[-1]))
         return f"label {label_id} at {tuple(center)}"
 
     return widget
@@ -380,17 +389,36 @@ def pick_patches_widget():
     ) -> "napari.types.LayerDataTuple":  # noqa: F821
         from empanada_tpu.curation.patches import pick_flipbooks, pick_patches_2d
 
-        points = None
-        if points_layer is not None and len(points_layer.data):
-            points = np.asarray(points_layer.data).astype(int)
+        points = _points(points_layer)
+        image = np.asarray(image_layer.data)
         if flipbooks:
             patches = pick_flipbooks(
-                np.asarray(image_layer.data), points=points,
+                image, points=points,
                 n_flipbooks=n_patches, patch_size=patch_size,
             )
+        elif image.ndim == 3:
+            # 2D patches from a volume: pick the plane per point (or at
+            # random), then crop within that plane (reference
+            # _pick_patches.py picks random z before cropping)
+            rng = np.random.default_rng(0)
+            if points is None:
+                picks = [
+                    (int(rng.integers(0, image.shape[0])), None)
+                    for _ in range(n_patches)
+                ]
+            else:
+                picks = [(int(p[0]), p[None, -2:]) for p in points]
+            patches = []
+            for plane, pt in picks:
+                patches.extend(
+                    pick_patches_2d(
+                        image[plane], points=pt, n_patches=1,
+                        patch_size=patch_size, plane=plane,
+                    )
+                )
         else:
             patches = pick_patches_2d(
-                np.asarray(image_layer.data), points=points,
+                image, points=points,
                 n_patches=n_patches, patch_size=patch_size,
             )
         stack = np.stack([p["image"] for p in patches])
@@ -414,9 +442,13 @@ def store_dataset_widget():
 
         imgs = np.asarray(image_layer.data)
         msks = np.asarray(labels_layer.data)
-        patches = [
-            {"image": img, "mask": msk} for img, msk in zip(imgs, msks)
-        ]
+        if imgs.ndim == 2:
+            # a plain 2D pair is ONE patch, not H single-row "patches"
+            patches = [{"image": imgs, "mask": msks}]
+        else:
+            patches = [
+                {"image": img, "mask": msk} for img, msk in zip(imgs, msks)
+            ]
         store_dataset(save_dir, prefix, patches)
 
     return widget

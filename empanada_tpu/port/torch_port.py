@@ -202,8 +202,9 @@ def _port_point_rend(b: _TreeBuilder, torch_prefix, flax_prefix, num_fc=3):
 def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
     """Port a reference torch state dict to flax variables for ``arch``.
 
-    Supported archs: PanopticDeepLab, PanopticDeepLabPR, PanopticDeepLabBC
-    (resnet encoders).  Returns {'params': ..., 'batch_stats': ...}.
+    Supported archs: PanopticDeepLab{,PR,BC} (resnet encoders) and
+    PanopticBiFPN{,PR} (resnet or regnet encoders).
+    Returns {'params': ..., 'batch_stats': ...}.
     """
     from empanada_tpu.models.resnet import resnet_configs
 

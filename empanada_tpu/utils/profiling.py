@@ -38,17 +38,20 @@ def trace(logdir: str):
 class StageTimer:
     """Accumulates wall-clock per named stage.
 
-    with timer.stage("forward"):
-        out = step(...)            # async dispatch is fine; sync=True
-                                   # blocks on leaves before stopping
+    with timer.stage("forward", sync_on=out_ref):
+        out_ref.append(step(...))  # async dispatch is fine; sync_on
+                                   # blocks on those leaves before stopping
     print(timer.report())
+
+    ``sync=True`` makes every stage block on ALL live device arrays at
+    exit (jax.live_arrays), so async work cannot leak its cost into a
+    later stage even when the caller did not pass ``sync_on``.
     """
 
     def __init__(self, sync: bool = False):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
         self.sync = sync
-        self._last_out = None
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_on=None):
@@ -58,6 +61,8 @@ class StageTimer:
         finally:
             if sync_on is not None:
                 jax.block_until_ready(sync_on)
+            elif self.sync:
+                jax.block_until_ready(jax.live_arrays())
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
