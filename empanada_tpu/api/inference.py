@@ -489,27 +489,102 @@ class Engine3d:
             return np.zeros(shape3d, dtype=self.dtype)
         return None
 
-    def infer_on_axis(self, volume, axis_name: str, timer=None):
+    def _checkpoint_meta(self, volume, axis_name: str) -> dict:
+        """Run-configuration fingerprint guarding checkpoint resume."""
+        return {
+            "axis_name": axis_name,
+            "volume_shape": list(volume.shape),
+            "label_divisor": self.label_divisor,
+            "labels": [int(c) for c in self.labels],
+            "thing_list": [int(c) for c in self.thing_list],
+            "inference_scale": self.inference_scale,
+            "median_kernel_size": self.engine.median.ks,
+            "force_connected": self.force_connected,
+            "merge_iou_thr": self.merge_iou_thr,
+            "merge_ioa_thr": self.merge_ioa_thr,
+            "model_name": self.model_config.get("model_name", ""),
+        }
+
+    def infer_on_axis(self, volume, axis_name: str, timer=None,
+                      checkpoint_dir=None, checkpoint_every: int = 64,
+                      resume: bool = False):
         """Slice-streamed inference with the forward matcher running in a
         thread, backward matching, filters, and optional panoptic fill.
 
         ``timer``: optional empanada_tpu.utils.StageTimer for per-stage
-        wall-clock observability."""
+        wall-clock observability.
+
+        ``checkpoint_dir``: when set, the forward-matched RLE stack is
+        persisted every ``checkpoint_every`` slices; with ``resume=True`` a
+        rerun continues from the last checkpoint and produces a result
+        bit-identical to an uninterrupted run (stitch/checkpoint.py).  The
+        checkpoint is deleted once the axis completes."""
+        import os
+
+        from empanada_tpu.stitch import checkpoint as ckpt
         from empanada_tpu.utils import StageTimer
 
         timer = timer or StageTimer()
         axis = self.axes[axis_name]
-        dataset = VolumeDataset(volume, axis, self.preprocessor, scale=self.inference_scale)
+        # a previous aborted run (crash mid-axis) leaves a dirty median
+        # window; start clean regardless of how the last run ended
+        self.engine.median.reset()
+
+        loaded_stack = []
+        ckpt_path = None
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt_path = ckpt.forward_checkpoint_path(checkpoint_dir, axis_name)
+            if resume and os.path.exists(ckpt_path):
+                loaded_stack, meta = ckpt.load_forward_state(ckpt_path)
+                ckpt.check_meta(
+                    meta, self._checkpoint_meta(volume, axis_name), ckpt_path
+                )
+        start = len(loaded_stack)
+
+        # re-prime the median window: feed from mid slices before the resume
+        # point and drop their (already-checkpointed) outputs, so every kept
+        # slice sees the same full window an uninterrupted run would have
+        mid = (self.engine.median.ks - 1) // 2
+        feed_from = max(0, start - mid)
+        drop = start - feed_from
+        dataset = VolumeDataset(
+            volume, axis, self.preprocessor, scale=self.inference_scale,
+            start=feed_from,
+        )
 
         trackers = self.create_trackers(volume.shape, axis_name)
         matchers = create_matchers(
             self.thing_list, self.label_divisor, self.merge_iou_thr, self.merge_ioa_thr
         )
+        ckpt.prime_matchers(matchers, loaded_stack)
         stack = self.create_panoptic_stack(axis_name, volume.shape)
 
         worker = MatcherWorker(matchers, self.labels, self.label_divisor,
                                self.thing_list,
                                force_connected=self.force_connected)
+        emitted = 0
+        last_saved = 0
+
+        def _put(pan_seg):
+            nonlocal emitted, last_saved
+            if pan_seg is None:
+                return
+            if emitted < drop:
+                emitted += 1
+                return
+            emitted += 1
+            worker.put(pan_seg)
+            if ckpt_path is not None:
+                done = len(worker.rle_stack)  # append-only; prefix immutable
+                if done - last_saved >= checkpoint_every:
+                    last_saved = done
+                    ckpt.save_forward_state(
+                        ckpt_path,
+                        loaded_stack + worker.rle_stack[:done],
+                        self._checkpoint_meta(volume, axis_name),
+                    )
+
         with timer.stage("device_inference+forward_matching"):
             for batch in dataset:
                 # enqueue the UNFETCHED device map: the matcher thread's
@@ -518,10 +593,10 @@ class Engine3d:
                 pan_seg = self.engine.dispatch(
                     batch["image"], batch["size"], self.inference_scale
                 )
-                worker.put(pan_seg)
+                _put(pan_seg)
             for pan_seg in self.engine.end(self.inference_scale):
-                worker.put(pan_seg)
-            rle_stack = worker.finish()
+                _put(pan_seg)
+            rle_stack = loaded_stack + worker.finish()
 
         axis_len = volume.shape[axis]
         with timer.stage("backward_matching"):
@@ -555,15 +630,42 @@ class Engine3d:
             with timer.stage("fill_volume"):
                 fill_panoptic_volume(stack, trackers)
 
+        if ckpt_path is not None and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # axis complete; partial state is stale now
         self.engine.median.reset()
         self.last_timing = timer.report()
         return stack, trackers
 
-    def infer_orthoplane(self, volume):
+    def infer_orthoplane(self, volume, checkpoint_dir=None,
+                         checkpoint_every: int = 64, resume: bool = False):
         """xy/xz/yz sweeps; returns the combined tracker dict for consensus
-        (the reference widget's _orthoplane_inference loop)."""
+        (the reference widget's _orthoplane_inference loop).
+
+        With ``checkpoint_dir``, each completed axis persists its finished
+        trackers (JSON) and in-progress axes checkpoint their forward
+        stack, so ``resume=True`` skips completed axes entirely and
+        continues a partial one mid-volume."""
+        import os
+
+        from empanada_tpu.stitch import checkpoint as ckpt
+
         trackers = {}
         for axis_name in self.axes:
-            _, axis_trackers = self.infer_on_axis(volume, axis_name)
+            paths = (
+                ckpt.axis_tracker_paths(checkpoint_dir, axis_name, self.labels)
+                if checkpoint_dir is not None else []
+            )
+            if resume and paths and all(os.path.exists(p) for p in paths):
+                axis_trackers = self.create_trackers(volume.shape, axis_name)
+                for tracker, path in zip(axis_trackers, paths):
+                    tracker.load_from_json(path)
+                trackers[axis_name] = axis_trackers
+                continue
+            _, axis_trackers = self.infer_on_axis(
+                volume, axis_name, checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every, resume=resume,
+            )
+            for tracker, path in zip(axis_trackers, paths):
+                tracker.write_to_json(path)
             trackers[axis_name] = axis_trackers
         return trackers

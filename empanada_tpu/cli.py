@@ -229,9 +229,18 @@ def _infer3d_one(args, model_name, multi=False):
     else:
         engine = Engine3d(config, **common)
 
+    ckpt_dir = args.checkpoint_dir
+    if multi and ckpt_dir is not None:
+        ckpt_dir = os.path.join(ckpt_dir, model_name)
+    ckpt_kw = {} if ckpt_dir is None else dict(
+        checkpoint_dir=ckpt_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+
     volume = _load_array(args.volume)
     if args.orthoplane:
-        trackers = engine.infer_orthoplane(volume)
+        trackers = engine.infer_orthoplane(volume, **ckpt_kw)
         worker = tracker_consensus(
             trackers, store, config,
             label_divisor=args.label_divisor,
@@ -241,7 +250,7 @@ def _infer3d_one(args, model_name, multi=False):
             min_size=args.min_size, min_extent=args.min_extent,
         )
     else:
-        _, axis_trackers = engine.infer_on_axis(volume, args.axis)
+        _, axis_trackers = engine.infer_on_axis(volume, args.axis, **ckpt_kw)
         worker = stack_postprocessing(
             {args.axis: axis_trackers}, store, config,
             label_divisor=args.label_divisor,
@@ -431,6 +440,15 @@ def build_parser():
     sp.add_argument("--allow-one-view", action="store_true", dest="allow_one_view")
     sp.add_argument("--store", default=None, help="chunked (zarr) store directory")
     sp.add_argument("--save-panoptic", action="store_true", dest="save_panoptic")
+    sp.add_argument("--checkpoint-dir", default=None, dest="checkpoint_dir",
+                    help="persist forward-pass state here every "
+                         "--checkpoint-every slices; with --resume a rerun "
+                         "continues from the last checkpoint (bit-identical "
+                         "to an uninterrupted run)")
+    sp.add_argument("--checkpoint-every", type=int, default=64,
+                    dest="checkpoint_every")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint-dir state if present")
     common_infer(sp)
     sp.set_defaults(func=cmd_infer3d)
 

@@ -46,13 +46,18 @@ class VolumeDataset:
     """Iterable of {'index', 'image', 'size'} slices along an axis
     (volume_dataset.py:8)."""
 
-    def __init__(self, array, axis: int = 0, tfs=None, scale: int = 1):
+    def __init__(self, array, axis: int = 0, tfs=None, scale: int = 1,
+                 start: int = 0):
         if not math.log2(scale).is_integer():
             raise Exception(f"Image rescaling must be log base 2, got {scale}")
         self.array = array
         self.axis = axis
         self.tfs = tfs
         self.scale = scale
+        # first slice index iteration yields (checkpoint resume restarts
+        # mid-axis without materializing a sub-volume; chunked/dask inputs
+        # keep streaming lazily)
+        self.start = start
 
     def __len__(self):
         return self.array.shape[self.axis]
@@ -73,5 +78,5 @@ class VolumeDataset:
         return {"index": idx, "image": image, "size": (h, w)}
 
     def __iter__(self):
-        for idx in range(len(self)):
+        for idx in range(self.start, len(self)):
             yield self[idx]

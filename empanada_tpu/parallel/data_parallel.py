@@ -251,9 +251,38 @@ class MultiChipEngine3d:
                 batch_idx.append(-1)
             yield batch_idx, np.stack(batch_imgs)[..., None], size
 
-    def infer_on_axis(self, volume, axis_name: str, timer=None):
+    def _checkpoint_meta(self, volume, axis_name: str) -> dict:
+        """Run-configuration fingerprint guarding checkpoint resume."""
+        return {
+            "axis_name": axis_name,
+            "volume_shape": list(volume.shape),
+            "label_divisor": self.label_divisor,
+            "labels": [int(c) for c in self.labels],
+            "thing_list": [int(c) for c in self.thing_list],
+            "inference_scale": self.inference_scale,
+            "median_kernel_size": 2 * self.mid + 1,
+            "force_connected": self.force_connected,
+            "merge_iou_thr": self.merge_iou_thr,
+            "merge_ioa_thr": self.merge_ioa_thr,
+            "batch_size": self.batch_size,
+            "model_name": self.model_config.get("model_name", ""),
+        }
+
+    def infer_on_axis(self, volume, axis_name: str, timer=None,
+                      checkpoint_dir=None, checkpoint_every: int = 64,
+                      resume: bool = False):
         """``timer``: optional empanada_tpu.utils.StageTimer — same
-        observability surface as Engine3d (last_timing after each call)."""
+        observability surface as Engine3d (last_timing after each call).
+
+        ``checkpoint_dir``/``checkpoint_every``/``resume``: crash-safe
+        forward-state persistence, same contract as Engine3d.infer_on_axis
+        (stitch/checkpoint.py); a resumed run recomputes from the last
+        whole batch boundary and is bit-identical to an uninterrupted one
+        (the in-jit median windows index absolute slice positions, so edge
+        semantics don't shift)."""
+        import os
+
+        from empanada_tpu.stitch import checkpoint as ckpt
         from empanada_tpu.utils import StageTimer
 
         timer = timer or StageTimer()
@@ -261,16 +290,42 @@ class MultiChipEngine3d:
         n_slices = volume.shape[axis]
         render_steps = int(2 + math.log2(self.inference_scale))
 
+        loaded_stack = []
+        ckpt_path = None
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt_path = ckpt.forward_checkpoint_path(checkpoint_dir, axis_name)
+            if resume and os.path.exists(ckpt_path):
+                loaded_stack, meta = ckpt.load_forward_state(ckpt_path)
+                ckpt.check_meta(
+                    meta, self._checkpoint_meta(volume, axis_name), ckpt_path
+                )
+        z_done = len(loaded_stack)
+
+        b = self.batch_size
+        mid = self.mid
+        # context batches needed on each side of the current batch so every
+        # window [i-mid, i+mid] is covered
+        K = -(-mid // b)
+        # resume recomputes from the last whole batch boundary; the batch
+        # generator starts K context batches earlier so sliding windows for
+        # kept slices see exactly the sem context an uninterrupted run had
+        j0 = z_done // b
+        feed_batch = max(0, j0 - K)
+        drop = z_done - j0 * b
+
         # integer volumes: ship raw slices and normalize on device (4x less
         # upload); float inputs are rejected like the reference Preprocessor
         dev_norm = np.issubdtype(np.dtype(volume.dtype), np.integer)
         if dev_norm:
             max_value = float(np.iinfo(volume.dtype).max)
-            dataset = VolumeDataset(volume, axis, None, scale=self.inference_scale)
+            dataset = VolumeDataset(volume, axis, None, scale=self.inference_scale,
+                                    start=feed_batch * b)
         else:
             max_value = 1.0
             dataset = VolumeDataset(
-                volume, axis, self.preprocessor, scale=self.inference_scale
+                volume, axis, self.preprocessor, scale=self.inference_scale,
+                start=feed_batch * b,
             )
 
         trackers = [
@@ -280,26 +335,43 @@ class MultiChipEngine3d:
         matchers = create_matchers(
             self.thing_list, self.label_divisor, self.merge_iou_thr, self.merge_ioa_thr
         )
+        ckpt.prime_matchers(matchers, loaded_stack)
         worker = MatcherWorker(matchers, self.labels, self.label_divisor,
                                self.thing_list,
                                force_connected=self.force_connected)
+        emitted = 0
+        last_saved = 0
+
+        def put(item):
+            """Feed the matcher, skipping already-checkpointed slices and
+            persisting the forward state periodically."""
+            nonlocal emitted, last_saved
+            if emitted < drop:
+                emitted += 1
+                return
+            emitted += 1
+            worker.put(item)
+            if ckpt_path is not None:
+                done = len(worker.rle_stack)  # append-only; prefix immutable
+                if done - last_saved >= checkpoint_every:
+                    last_saved = done
+                    ckpt.save_forward_state(
+                        ckpt_path,
+                        loaded_stack + worker.rle_stack[:done],
+                        self._checkpoint_meta(volume, axis_name),
+                    )
 
         # Streamed forward + postprocess: only a median-kernel-deep rolling
         # window of sem batches (plus the current batch's ctr/off) is device-
         # resident — memory is O(batch + kernel), not O(volume).  The
         # reference streams one slice at a time through its DataLoader
         # (empanada_napari/inference.py:526-543); this is the batched analog.
-        b = self.batch_size
-        mid = self.mid
         n_batches = -(-n_slices // b)
-        # context batches needed on each side of the current batch so every
-        # window [i-mid, i+mid] is covered
-        K = -(-mid // b)
 
         batch_gen = self._batches(dataset)
         sem_buf: dict = {}    # batch index -> device sem (B, H, W, C)
         io_buf: dict = {}     # batch index -> (ctr, off)
-        fwd_done = -1
+        fwd_done = feed_batch - 1
         size = None
         self._max_resident = 0  # observability: peak sem batches resident
 
@@ -334,19 +406,19 @@ class MultiChipEngine3d:
                     if decoded is None:
                         if pans_np is None:
                             pans_np = np.asarray(pans_dev)[:n_keep]
-                        worker.put(pans_np[bi].astype(np.int64))
+                        put(pans_np[bi].astype(np.int64))
                     else:
-                        worker.put(("runs", decoded, w))
+                        put(("runs", decoded, w))
             else:
                 pans = np.asarray(pans_dev)[:n_keep, :h, :w]
                 for pan in pans:
-                    worker.put(pan.astype(np.int64))
+                    put(pan.astype(np.int64))
 
         pending = None
         max_runs = None  # resolved once size is known (first forward)
         t_stream = timer.stage("device_stream+forward_matching")
         t_stream.__enter__()
-        for j in range(n_batches):
+        for j in range(j0, n_batches):
             ensure_forwarded(j + K)
             base = j - K
             ctx = tuple(
@@ -404,7 +476,7 @@ class MultiChipEngine3d:
 
         if pending is not None:
             drain(pending)
-        rle_stack = worker.finish()
+        rle_stack = loaded_stack + worker.finish()
         t_stream.__exit__(None, None, None)
 
         # phase C: backward matching + tracking + filters (host)
@@ -428,12 +500,41 @@ class MultiChipEngine3d:
             with timer.stage("fill_volume"):
                 fill_panoptic_volume(stack, trackers)
 
+        if ckpt_path is not None and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # axis complete; partial state is stale now
         self.last_timing = timer.report()
         return stack, trackers
 
-    def infer_orthoplane(self, volume):
+    def infer_orthoplane(self, volume, checkpoint_dir=None,
+                         checkpoint_every: int = 64, resume: bool = False):
+        """Same per-axis resume contract as Engine3d.infer_orthoplane:
+        completed axes persist finished trackers and are skipped on
+        resume; a partial axis continues from its forward checkpoint."""
+        import os
+
+        from empanada_tpu.stitch import checkpoint as ckpt
+
         trackers = {}
         for axis_name in self.axes:
-            _, axis_trackers = self.infer_on_axis(volume, axis_name)
+            paths = (
+                ckpt.axis_tracker_paths(checkpoint_dir, axis_name, self.labels)
+                if checkpoint_dir is not None else []
+            )
+            if resume and paths and all(os.path.exists(p) for p in paths):
+                axis_trackers = [
+                    InstanceTracker(label, self.label_divisor, volume.shape,
+                                    axis_name)
+                    for label in self.labels
+                ]
+                for tracker, path in zip(axis_trackers, paths):
+                    tracker.load_from_json(path)
+                trackers[axis_name] = axis_trackers
+                continue
+            _, axis_trackers = self.infer_on_axis(
+                volume, axis_name, checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every, resume=resume,
+            )
+            for tracker, path in zip(axis_trackers, paths):
+                tracker.write_to_json(path)
             trackers[axis_name] = axis_trackers
         return trackers

@@ -91,6 +91,30 @@ def test_infer3d_stack(tmp_path, tiny_config_yaml):
     assert seg.shape == vol.shape
 
 
+def test_infer3d_checkpoint_resume(tmp_path, tiny_config_yaml):
+    """--checkpoint-dir persists per-axis state; --resume skips completed
+    axes (trackers reload from JSON) and yields identical outputs."""
+    vol = np.stack([make_blob_image((64, 64), n_blobs=3)] * 4)
+    vol_path = tmp_path / "vol.npy"
+    np.save(vol_path, vol)
+    cdir = str(tmp_path / "ckpt")
+
+    def run(out_dir):
+        out_tpl = str(out_dir / "seg_{class}.npy")
+        main(["infer3d", str(vol_path), "-o", out_tpl,
+              "--model", tiny_config_yaml, "--median-slices", "1",
+              "--min-size", "0", "--min-extent", "0", "--orthoplane",
+              "--checkpoint-dir", cdir, "--checkpoint-every", "2", "--resume"])
+        return np.load(out_dir / "seg_mito.npy")
+
+    d1 = tmp_path / "run1"; d1.mkdir()
+    d2 = tmp_path / "run2"; d2.mkdir()
+    first = run(d1)
+    assert os.path.exists(os.path.join(cdir, "trackers_xy_1.json"))
+    second = run(d2)  # all axes resume from disk
+    np.testing.assert_array_equal(first, second)
+
+
 def test_tiles_roundtrip(tmp_path):
     from PIL import Image
 
