@@ -253,9 +253,12 @@ class MultiChipEngine3d:
 
     def _checkpoint_meta(self, volume, axis_name: str) -> dict:
         """Run-configuration fingerprint guarding checkpoint resume."""
+        from empanada_tpu.stitch import checkpoint as ckpt
+
         return {
             "axis_name": axis_name,
             "volume_shape": list(volume.shape),
+            "volume_fingerprint": ckpt.volume_fingerprint(volume),
             "label_divisor": self.label_divisor,
             "labels": [int(c) for c in self.labels],
             "thing_list": [int(c) for c in self.thing_list],
@@ -291,15 +294,14 @@ class MultiChipEngine3d:
         render_steps = int(2 + math.log2(self.inference_scale))
 
         loaded_stack = []
-        ckpt_path = None
+        fc = None
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)
-            ckpt_path = ckpt.forward_checkpoint_path(checkpoint_dir, axis_name)
-            if resume and os.path.exists(ckpt_path):
-                loaded_stack, meta = ckpt.load_forward_state(ckpt_path)
-                ckpt.check_meta(
-                    meta, self._checkpoint_meta(volume, axis_name), ckpt_path
-                )
+            fc = ckpt.ForwardCheckpoint(
+                checkpoint_dir, axis_name, self._checkpoint_meta(volume, axis_name)
+            )
+            if resume and fc.exists():
+                loaded_stack = fc.load()
         z_done = len(loaded_stack)
 
         b = self.batch_size
@@ -351,15 +353,11 @@ class MultiChipEngine3d:
                 return
             emitted += 1
             worker.put(item)
-            if ckpt_path is not None:
+            if fc is not None:
                 done = len(worker.rle_stack)  # append-only; prefix immutable
                 if done - last_saved >= checkpoint_every:
+                    fc.append(worker.rle_stack[last_saved:done])
                     last_saved = done
-                    ckpt.save_forward_state(
-                        ckpt_path,
-                        loaded_stack + worker.rle_stack[:done],
-                        self._checkpoint_meta(volume, axis_name),
-                    )
 
         # Streamed forward + postprocess: only a median-kernel-deep rolling
         # window of sem batches (plus the current batch's ctr/off) is device-
@@ -388,7 +386,11 @@ class MultiChipEngine3d:
                 )
                 fwd_done += 1
                 sem_buf[fwd_done] = sem
-                io_buf[fwd_done] = (ctr, off)
+                if fwd_done >= j0:
+                    # resume context batches (< j0) only feed sem windows;
+                    # retaining their ctr/off would pin full-resolution
+                    # device buffers for the rest of the axis
+                    io_buf[fwd_done] = (ctr, off)
 
         def drain(pending):
             """Fetch + decode one completed postprocess batch into the
@@ -500,8 +502,8 @@ class MultiChipEngine3d:
             with timer.stage("fill_volume"):
                 fill_panoptic_volume(stack, trackers)
 
-        if ckpt_path is not None and os.path.exists(ckpt_path):
-            os.remove(ckpt_path)  # axis complete; partial state is stale now
+        if fc is not None:
+            fc.remove()  # axis complete; partial state is stale now
         self.last_timing = timer.report()
         return stack, trackers
 
@@ -514,27 +516,33 @@ class MultiChipEngine3d:
 
         from empanada_tpu.stitch import checkpoint as ckpt
 
+        def make_trackers(axis_name):
+            return [
+                InstanceTracker(label, self.label_divisor, volume.shape,
+                                axis_name)
+                for label in self.labels
+            ]
+
         trackers = {}
         for axis_name in self.axes:
-            paths = (
-                ckpt.axis_tracker_paths(checkpoint_dir, axis_name, self.labels)
-                if checkpoint_dir is not None else []
-            )
-            if resume and paths and all(os.path.exists(p) for p in paths):
-                axis_trackers = [
-                    InstanceTracker(label, self.label_divisor, volume.shape,
-                                    axis_name)
-                    for label in self.labels
-                ]
-                for tracker, path in zip(axis_trackers, paths):
-                    tracker.load_from_json(path)
-                trackers[axis_name] = axis_trackers
+            loaded = None
+            if checkpoint_dir is not None:
+                meta = self._checkpoint_meta(volume, axis_name)
+                if resume:
+                    loaded = ckpt.load_axis_trackers(
+                        checkpoint_dir, axis_name, meta,
+                        lambda: make_trackers(axis_name),
+                    )
+            if loaded is not None:
+                trackers[axis_name] = loaded
                 continue
             _, axis_trackers = self.infer_on_axis(
                 volume, axis_name, checkpoint_dir=checkpoint_dir,
                 checkpoint_every=checkpoint_every, resume=resume,
             )
-            for tracker, path in zip(axis_trackers, paths):
-                tracker.write_to_json(path)
+            if checkpoint_dir is not None:
+                ckpt.save_axis_trackers(
+                    checkpoint_dir, axis_name, axis_trackers, meta
+                )
             trackers[axis_name] = axis_trackers
         return trackers

@@ -29,17 +29,14 @@ import numpy as np
 from empanada_tpu.core.labeling import FlatInstances
 
 __all__ = [
+    "ForwardCheckpoint",
     "save_forward_state",
     "load_forward_state",
-    "forward_checkpoint_path",
     "axis_tracker_paths",
+    "volume_fingerprint",
 ]
 
 _FORMAT = "empanada_tpu-forward-v1"
-
-
-def forward_checkpoint_path(checkpoint_dir: str, axis_name: str) -> str:
-    return os.path.join(checkpoint_dir, f"forward_{axis_name}.npz")
 
 
 def axis_tracker_paths(checkpoint_dir: str, axis_name: str, labels) -> list:
@@ -47,6 +44,30 @@ def axis_tracker_paths(checkpoint_dir: str, axis_name: str, labels) -> list:
         os.path.join(checkpoint_dir, f"trackers_{axis_name}_{int(label)}.json")
         for label in labels
     ]
+
+
+def axis_tracker_meta_path(checkpoint_dir: str, axis_name: str) -> str:
+    return os.path.join(checkpoint_dir, f"trackers_{axis_name}.meta.json")
+
+
+def volume_fingerprint(volume) -> str:
+    """Cheap content fingerprint: shape, dtype, and a strided voxel sample
+    hashed together.  Guards resume against a checkpoint dir left over
+    from a DIFFERENT volume of the same shape (full-volume hashing would
+    cost a complete read of arbitrarily large chunked stores)."""
+    import hashlib
+
+    shape = tuple(int(s) for s in volume.shape)
+    h = hashlib.sha1()
+    h.update(repr((shape, str(np.dtype(volume.dtype)))).encode())
+    for z in sorted({0, shape[0] // 2, shape[0] - 1}):
+        plane = volume[z]  # chunked stores: plain plane reads only
+        if hasattr(plane, "compute"):
+            plane = plane.compute()
+        plane = np.asarray(plane)
+        sub = plane[:: max(1, plane.shape[0] // 64), :: max(1, plane.shape[1] // 64)]
+        h.update(np.ascontiguousarray(sub).tobytes())
+    return h.hexdigest()
 
 
 def save_forward_state(path: str, rle_stack: list, meta: dict) -> None:
@@ -140,6 +161,116 @@ def load_forward_state(path: str):
             )
         rle_stack[int(g_slice[gi])][int(g_class[gi])] = flat.to_dict()
     return rle_stack, meta
+
+
+class ForwardCheckpoint:
+    """Segmented forward-state persistence for one axis.
+
+    Each periodic save appends ONE segment file
+    (``forward_<axis>.<k>.npz``) covering only the newly completed slices,
+    so checkpoint cost is O(new slices) instead of re-serializing the
+    cumulative stack — on multi-thousand-slice volumes the latter grows
+    quadratically and stalls the device dispatch loop.  Segments are
+    written atomically (tmp + os.replace); load validates each segment's
+    run fingerprint and slice contiguity."""
+
+    def __init__(self, checkpoint_dir: str, axis_name: str, meta: dict):
+        self.dir = checkpoint_dir
+        self.axis = axis_name
+        self.meta = meta
+        self._next_segment = 0
+        self._z_end = 0
+
+    def _segment_path(self, k: int) -> str:
+        return os.path.join(self.dir, f"forward_{self.axis}.{k:05d}.npz")
+
+    def _existing_segments(self) -> list:
+        out = []
+        k = 0
+        while os.path.exists(self._segment_path(k)):
+            out.append(self._segment_path(k))
+            k += 1
+        return out
+
+    def exists(self) -> bool:
+        return os.path.exists(self._segment_path(0))
+
+    def load(self) -> list:
+        """Load and validate all segments; returns the contiguous rle_stack
+        (slices 0..z_done).  Raises on config mismatch or a gap."""
+        stack = []
+        for k, path in enumerate(self._existing_segments()):
+            seg, meta = load_forward_state(path)
+            z_start = meta.pop("_z_start")
+            check_meta(meta, self.meta, path)
+            if z_start != len(stack):
+                raise ValueError(
+                    f"{path}: segment starts at slice {z_start}, expected "
+                    f"{len(stack)} — checkpoint dir holds mixed runs; "
+                    "delete it and rerun"
+                )
+            stack.extend(seg)
+            self._next_segment = k + 1
+        self._z_end = len(stack)
+        return stack
+
+    def append(self, new_slices: list) -> None:
+        """Persist the next ``len(new_slices)`` completed slices."""
+        if not new_slices:
+            return
+        meta = dict(self.meta)
+        meta["_z_start"] = self._z_end
+        save_forward_state(
+            self._segment_path(self._next_segment), new_slices, meta
+        )
+        self._next_segment += 1
+        self._z_end += len(new_slices)
+
+    def remove(self) -> None:
+        for path in self._existing_segments():
+            os.remove(path)
+
+
+def save_axis_trackers(checkpoint_dir: str, axis_name: str, trackers,
+                       meta: dict) -> None:
+    """Persist a completed axis's finished trackers plus the run
+    fingerprint that authorizes reusing them on resume.  The meta sidecar
+    is written LAST (all writes atomic), so a crash mid-save can never
+    leave a dir that passes the resume guard with partial data."""
+    labels = [t.class_id for t in trackers]
+    for tracker, path in zip(
+        trackers, axis_tracker_paths(checkpoint_dir, axis_name, labels)
+    ):
+        tracker.write_to_json(path)
+    meta_path = axis_tracker_meta_path(checkpoint_dir, axis_name)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def load_axis_trackers(checkpoint_dir: str, axis_name: str, meta: dict,
+                       make_trackers):
+    """Load a completed axis's trackers, or None when absent.  Raises when
+    present but written by a different run configuration/volume."""
+    meta_path = axis_tracker_meta_path(checkpoint_dir, axis_name)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        saved_meta = json.load(f)
+    check_meta(saved_meta, meta, meta_path)
+    trackers = make_trackers()
+    paths = axis_tracker_paths(
+        checkpoint_dir, axis_name, [t.class_id for t in trackers]
+    )
+    if not all(os.path.exists(p) for p in paths):
+        raise ValueError(
+            f"{checkpoint_dir}: trackers meta exists for axis {axis_name} "
+            "but tracker files are missing — delete the checkpoint dir"
+        )
+    for tracker, path in zip(trackers, paths):
+        tracker.load_from_json(path)
+    return trackers
 
 
 def check_meta(meta: dict, expected: dict, path: str) -> None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 from copy import deepcopy
 
 import numpy as np
@@ -175,8 +176,13 @@ class InstanceTracker:
                 "box": [int(b) for b in attrs["box"]],
                 "rle": rle_to_string(attrs["starts"], attrs["runs"]),
             }
-        with open(savepath, "w") as handle:
+        # atomic write: a crash mid-dump must not leave a truncated file
+        # that later passes existence checks (checkpoint resume relies on
+        # this, stitch/checkpoint.py)
+        tmp = savepath + ".tmp"
+        with open(tmp, "w") as handle:
             json.dump(save_dict, handle, indent=2)
+        os.replace(tmp, savepath)
 
     def load_from_json(self, fpath: str):
         with open(fpath) as handle:

@@ -62,6 +62,20 @@ def _engine(tiny_config, tiny_model_and_variables, **kw):
     )
 
 
+def _segments(cdir, axis):
+    import glob
+
+    return sorted(glob.glob(os.path.join(cdir, f"forward_{axis}.*.npz")))
+
+
+def _segment_slices(cdir, axis):
+    total = []
+    for path in _segments(cdir, axis):
+        seg, _ = ckpt.load_forward_state(path)
+        total.extend(seg)
+    return total
+
+
 def _stack_equal(a, b):
     if len(a) != len(b):
         return False
@@ -156,9 +170,8 @@ class TestCrashResume:
             eng2.infer_on_axis(
                 vol, "xy", checkpoint_dir=cdir, checkpoint_every=4
             )
-        fwd = ckpt.forward_checkpoint_path(cdir, "xy")
-        assert os.path.exists(fwd), "periodic checkpoint must survive a crash"
-        partial, _ = ckpt.load_forward_state(fwd)
+        assert _segments(cdir, "xy"), "periodic checkpoint must survive a crash"
+        partial = _segment_slices(cdir, "xy")
         assert 0 < len(partial) < vol.shape[0]
 
         # resumed run: fresh engine (as after a process restart)
@@ -177,7 +190,7 @@ class TestCrashResume:
                 assert np.array_equal(
                     rt.instances[k]["runs"], st.instances[k]["runs"]
                 )
-        assert not os.path.exists(fwd), "checkpoint removed after completion"
+        assert not _segments(cdir, "xy"), "checkpoint removed after completion"
 
     def test_resume_rejects_changed_config(
         self, tiny_config, tiny_model_and_variables, tmp_path
@@ -195,6 +208,43 @@ class TestCrashResume:
         )
         with pytest.raises(ValueError, match="different run configuration"):
             eng2.infer_on_axis(vol, "xy", checkpoint_dir=cdir, resume=True)
+
+
+class TestStaleCheckpointGuards:
+    def test_resume_rejects_different_volume_same_shape(
+        self, tiny_config, tiny_model_and_variables, tmp_path
+    ):
+        """A checkpoint dir left over from ANOTHER volume (identical shape
+        and config) must be refused via the content fingerprint."""
+        vol_a = _blob_volume(shape=(10, 48, 48), seed=1)
+        vol_b = _blob_volume(shape=(10, 48, 48), seed=2)
+        cdir = str(tmp_path / "ckpt")
+
+        eng = _engine(tiny_config, tiny_model_and_variables)
+        crash = _CrashAfter(eng, 8)
+        eng.engine.dispatch = crash
+        with pytest.raises(RuntimeError):
+            eng.infer_on_axis(vol_a, "xy", checkpoint_dir=cdir, checkpoint_every=2)
+
+        eng2 = _engine(tiny_config, tiny_model_and_variables)
+        with pytest.raises(ValueError, match="different run configuration"):
+            eng2.infer_on_axis(vol_b, "xy", checkpoint_dir=cdir, resume=True)
+
+    def test_orthoplane_resume_rejects_stale_trackers(
+        self, tiny_config, tiny_model_and_variables, tmp_path
+    ):
+        """Completed-axis tracker JSONs from a different volume must not be
+        silently reused (meta sidecar fingerprint check)."""
+        vol_a = _blob_volume(shape=(6, 48, 48), seed=1)
+        vol_b = _blob_volume(shape=(6, 48, 48), seed=2)
+        cdir = str(tmp_path / "ckpt")
+
+        eng = _engine(tiny_config, tiny_model_and_variables)
+        eng.infer_orthoplane(vol_a, checkpoint_dir=cdir)
+
+        eng2 = _engine(tiny_config, tiny_model_and_variables)
+        with pytest.raises(ValueError, match="different run configuration"):
+            eng2.infer_orthoplane(vol_b, checkpoint_dir=cdir, resume=True)
 
 
 class TestMultiChipCrashResume:
@@ -248,9 +298,8 @@ class TestMultiChipCrashResume:
                 )
         finally:
             dp.MatcherWorker = real_worker_cls
-        fwd = ckpt.forward_checkpoint_path(cdir, "xy")
-        assert os.path.exists(fwd)
-        partial, _ = ckpt.load_forward_state(fwd)
+        assert _segments(cdir, "xy")
+        partial = _segment_slices(cdir, "xy")
         assert 0 < len(partial) < vol.shape[0]
 
         eng3 = engine()
@@ -264,7 +313,7 @@ class TestMultiChipCrashResume:
                 assert np.array_equal(
                     rt.instances[k]["starts"], st.instances[k]["starts"]
                 )
-        assert not os.path.exists(fwd)
+        assert not _segments(cdir, "xy")
 
 
 class TestOrthoplaneResume:
