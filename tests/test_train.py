@@ -180,6 +180,63 @@ class TestEndToEndTraining:
         assert int(restored.step) == int(state.step)
 
 
+class TestTrainingResume:
+    def _config(self, synthetic_dataset_dir, tmp_path, epochs):
+        return {
+            "model_name": "resumable",
+            "seed": 0,
+            "MODEL": {
+                "arch": "PanopticDeepLab", "encoder": "resnet18",
+                "decoder_channels": 32, "low_level_stages": [1],
+                "low_level_channels_project": [16], "ins_decoder": False,
+            },
+            "DATASET": {
+                "class_names": {1: "blob"}, "labels": [1], "thing_list": [1],
+                "norms": {"mean": 0.6, "std": 0.2},
+            },
+            "TRAIN": {
+                "train_dir": os.path.join(synthetic_dataset_dir, "train"),
+                "model_dir": str(tmp_path),
+                "save_freq": 1,
+                "epochs": epochs,
+                "batch_size": 4,
+                "print_freq": 1000,
+                "criterion": "PanopticLoss",
+                "dataset_class": "SingleClassInstanceDataset",
+                "augmentations": [
+                    {"aug": "RandomCrop", "height": 64, "width": 64},
+                ],
+                "metrics": [],
+            },
+        }
+
+    def test_killed_run_continues_from_checkpoint(
+        self, synthetic_dataset_dir, tmp_path, capsys
+    ):
+        """TRAIN.resume restores params + optimizer state + epoch, so a
+        rerun after a crash continues instead of restarting (reference
+        checkpoints cannot resume: they save only arch + state_dict)."""
+        import empanada_tpu.train as T
+
+        # "crashed" run: completes only 2 of 4 epochs
+        _, state2 = T.main(self._config(synthetic_dataset_dir, tmp_path, 2))
+        steps_per_epoch = int(state2.step) // 2
+
+        cfg = self._config(synthetic_dataset_dir, tmp_path, 4)
+        cfg["TRAIN"]["resume"] = True
+        _, state4 = T.main(cfg)
+        out = capsys.readouterr().out
+        assert "resumed from" in out and "epoch 2" in out
+        assert int(state4.step) == 4 * steps_per_epoch
+
+        # resume=True without a checkpoint starts fresh (no crash)
+        cfg = self._config(synthetic_dataset_dir, tmp_path, 1)
+        cfg["model_name"] = "fresh"
+        cfg["TRAIN"]["resume"] = True
+        _, state1 = T.main(cfg)
+        assert int(state1.step) == steps_per_epoch
+
+
 class TestMultichipTraining:
     """Data-parallel training through the user surface (TRAIN.multichip):
     batch axis sharded over the 8-device CPU mesh — the reference only
