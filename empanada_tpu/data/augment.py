@@ -64,10 +64,26 @@ class RandomScale(_Transform):
         return {"image": image, "mask": mask}
 
 
+# cv2 border constants -> np.pad modes (albumentations configs use the
+# cv2 integers)
+_BORDER_MODES = {
+    0: "constant",    # cv2.BORDER_CONSTANT
+    1: "edge",        # cv2.BORDER_REPLICATE
+    2: "symmetric",   # cv2.BORDER_REFLECT
+    4: "reflect",     # cv2.BORDER_REFLECT_101
+}
+
+
 class PadIfNeeded(_Transform):
     def __init__(self, min_height, min_width, border_mode=0, p=1.0):
         self.min_height = min_height
         self.min_width = min_width
+        if border_mode not in _BORDER_MODES:
+            raise ValueError(
+                f"unsupported border_mode {border_mode}; "
+                f"supported cv2 codes: {sorted(_BORDER_MODES)}"
+            )
+        self.border_mode = border_mode
 
     def __call__(self, image, mask=None, rng=None):
         h, w = image.shape[:2]
@@ -75,9 +91,10 @@ class PadIfNeeded(_Transform):
         pr = max(0, self.min_width - w)
         pt, pl = pb // 2, pr // 2
         pad = ((pt, pb - pt), (pl, pr - pl))
-        image = np.pad(image, pad)
+        mode = _BORDER_MODES[self.border_mode]
+        image = np.pad(image, pad, mode=mode)
         if mask is not None:
-            mask = np.pad(mask, pad)
+            mask = np.pad(mask, pad, mode=mode)
         return {"image": image, "mask": mask}
 
 
@@ -104,18 +121,29 @@ class CenterCrop(_Transform):
 
     def __call__(self, image, mask=None, rng=None):
         h, w = image.shape[:2]
-        y = max(0, (h - self.height) // 2)
-        x = max(0, (w - self.width) // 2)
+        assert h >= self.height and w >= self.width, "pad before cropping"
+        y = (h - self.height) // 2
+        x = (w - self.width) // 2
         image = image[y : y + self.height, x : x + self.width]
         if mask is not None:
             mask = mask[y : y + self.height, x : x + self.width]
         return {"image": image, "mask": mask}
 
 
+# cv2 border codes usable directly by warpAffine
+_CV2_BORDER = {0: 0, 1: 1, 2: 2, 4: 4}
+
+
 class Rotate(_Transform):
     def __init__(self, limit=180, border_mode=0, p=0.5):
         self.limit = limit
         self.p = p
+        if border_mode not in _CV2_BORDER:
+            raise ValueError(
+                f"unsupported border_mode {border_mode}; "
+                f"supported cv2 codes: {sorted(_CV2_BORDER)}"
+            )
+        self.border_mode = border_mode
 
     def __call__(self, image, mask=None, rng=None):
         if rng.random() > self.p:
@@ -123,10 +151,12 @@ class Rotate(_Transform):
         angle = float(rng.uniform(-self.limit, self.limit))
         h, w = image.shape[:2]
         m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
-        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR, borderValue=0)
+        image = cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=self.border_mode, borderValue=0)
         if mask is not None:
             mask = cv2.warpAffine(
-                mask.astype(np.int32), m, (w, h), flags=cv2.INTER_NEAREST, borderValue=0
+                mask.astype(np.int32), m, (w, h), flags=cv2.INTER_NEAREST,
+                borderMode=self.border_mode, borderValue=0
             )
         return {"image": image, "mask": mask}
 
@@ -195,10 +225,18 @@ class GaussNoise(_Transform):
         if rng.random() > self.p:
             return {"image": image, "mask": mask}
         var = float(rng.uniform(*self.var_limit))
-        noise = rng.normal(0, math.sqrt(var), image.shape[:2])
-        img = image.astype(np.float32) + noise
-        if not np.issubdtype(image.dtype, np.floating):
-            img = np.clip(img, 0, np.iinfo(image.dtype).max)
+        sigma = math.sqrt(var)
+        if np.issubdtype(image.dtype, np.floating):
+            # var_limit is specified on the 0-255 scale (albumentations
+            # convention); scale to the float image's [0, 1] range and clip
+            # so float inputs aren't drowned in noise
+            noise = rng.normal(0, sigma / 255.0, image.shape[:2])
+            img = np.clip(image.astype(np.float32) + noise, 0.0, 1.0)
+        else:
+            noise = rng.normal(0, sigma, image.shape[:2])
+            img = np.clip(
+                image.astype(np.float32) + noise, 0, np.iinfo(image.dtype).max
+            )
         return {"image": img.astype(image.dtype), "mask": mask}
 
 

@@ -59,8 +59,24 @@ class BaseDataset:
         self.impaths_dict = {}
         self.mskpaths_dict = {}
         for sd in self.subdirs:
-            self.impaths_dict[sd] = sorted(glob(os.path.join(data_dir, sd, "images", "*")))
-            self.mskpaths_dict[sd] = sorted(glob(os.path.join(data_dir, sd, "masks", "*")))
+            imgs = sorted(glob(os.path.join(data_dir, sd, "images", "*")))
+            msks = sorted(glob(os.path.join(data_dir, sd, "masks", "*")))
+            # images/masks pair by sorted position: a single missing file
+            # would silently shift every later pairing (and with multiple
+            # sources even total lengths can still match), so fail loudly
+            if len(imgs) != len(msks):
+                raise ValueError(
+                    f"{os.path.join(data_dir, sd)}: {len(imgs)} images but "
+                    f"{len(msks)} masks — every images/ file needs a "
+                    "matching masks/ file"
+                )
+            if not imgs:
+                raise ValueError(
+                    f"{os.path.join(data_dir, sd)}: contains no images — "
+                    "remove the empty source dir or add images/ + masks/"
+                )
+            self.impaths_dict[sd] = imgs
+            self.mskpaths_dict[sd] = msks
 
         self.weight_gamma = weight_gamma
         self.weights = (

@@ -138,6 +138,8 @@ def volume_inference_widget():
         min_extent: int = 5,
         pixel_vote_thr: int = 2,
         allow_one_view: bool = False,
+        checkpoint_dir: str = "",
+        resume: bool = False,
     ) -> "List[napari.types.LayerDataTuple]":  # noqa: F821
         from empanada_tpu import api
         from empanada_tpu.api.utils import get_configs
@@ -153,9 +155,12 @@ def volume_inference_widget():
             min_size=min_size,
             min_extent=min_extent,
         )
+        ckpt_kw = {}
+        if checkpoint_dir:
+            ckpt_kw = dict(checkpoint_dir=checkpoint_dir, resume=resume)
         volume = np.asarray(image_layer.data)
         if orthoplane:
-            trackers = engine.infer_orthoplane(volume)
+            trackers = engine.infer_orthoplane(volume, **ckpt_kw)
             outs = list(
                 api.tracker_consensus(
                     trackers, None, config,
@@ -165,7 +170,7 @@ def volume_inference_widget():
                 )
             )
         else:
-            _, axis_trackers = engine.infer_on_axis(volume, "xy")
+            _, axis_trackers = engine.infer_on_axis(volume, "xy", **ckpt_kw)
             outs = list(
                 api.stack_postprocessing(
                     {"xy": axis_trackers}, None, config,

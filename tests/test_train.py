@@ -45,6 +45,60 @@ def synthetic_dataset_dir(tmp_path_factory):
     return str(root)
 
 
+class TestDataLayerGuards:
+    """Silent-corruption guards in the data layer (round-2 review)."""
+
+    def test_mismatched_masks_fail_loudly(self, tmp_path):
+        from PIL import Image
+
+        from empanada_tpu.data.datasets import SingleClassInstanceDataset
+
+        d = tmp_path / "train" / "src"
+        (d / "images").mkdir(parents=True)
+        (d / "masks").mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(np.zeros((8, 8), np.uint8)).save(d / "images" / f"{i}.png")
+        for i in range(2):  # one mask missing
+            Image.fromarray(np.zeros((8, 8), np.uint16)).save(d / "masks" / f"{i}.png")
+        with pytest.raises(ValueError, match="3 images but 2 masks"):
+            SingleClassInstanceDataset(str(tmp_path / "train"))
+
+    def test_empty_source_fails_loudly(self, tmp_path):
+        from empanada_tpu.data.datasets import SingleClassInstanceDataset
+
+        d = tmp_path / "train" / "src"
+        (d / "images").mkdir(parents=True)
+        (d / "masks").mkdir(parents=True)
+        with pytest.raises(ValueError, match="no images"):
+            SingleClassInstanceDataset(str(tmp_path / "train"), weight_gamma=0.3)
+
+    def test_gauss_noise_float_image_stays_in_range(self):
+        from empanada_tpu.data.augment import GaussNoise
+
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32)).astype(np.float32)
+        out = GaussNoise(var_limit=(40.0, 50.0), p=1.0)(img, rng=rng)["image"]
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # noise is scaled to the [0,1] range, not the 0-255 scale
+        assert np.abs(out - img).mean() < 0.1
+
+    def test_pad_border_mode_reflects(self):
+        from empanada_tpu.data.augment import PadIfNeeded
+
+        img = np.arange(4, dtype=np.uint8).reshape(2, 2)
+        out = PadIfNeeded(4, 2, border_mode=2, p=1.0)(img, rng=None)["image"]
+        assert out.shape == (4, 2)
+        assert np.array_equal(out[0], img[0])  # symmetric reflect, no zeros
+        with pytest.raises(ValueError, match="unsupported border_mode"):
+            PadIfNeeded(4, 4, border_mode=3)
+
+    def test_center_crop_rejects_undersized(self):
+        from empanada_tpu.data.augment import CenterCrop
+
+        with pytest.raises(AssertionError, match="pad before cropping"):
+            CenterCrop(64, 64)(np.zeros((32, 32), np.uint8), rng=None)
+
+
 class TestLosses:
     def test_panoptic_loss_finite(self, rng):
         out = {
