@@ -302,7 +302,14 @@ class ConvTransposeBnAct(nn.Module):
 
 
 class SqueezeExcite(nn.Module):
-    """Global squeeze-excite with hardcoded squeeze factor 4 (blocks.py:35)."""
+    """Squeeze-excite with hardcoded squeeze factor 4 (blocks.py:35).
+
+    PARITY NOTE: the reference's ``nn.AvgPool2d((1, 1))`` (blocks.py:38)
+    is an identity op — kernel 1, stride 1 — so its published SE-equipped
+    weights (regnety_6p4gf/8gf/...) were trained with PER-PIXEL gating,
+    not the SE paper's global pooling.  Weight-port parity requires
+    reproducing that exact behavior; per-pixel gating is also pointwise,
+    so it needs no special handling under spatial sharding."""
 
     dtype: jnp.dtype = jnp.float32
 
@@ -310,11 +317,7 @@ class SqueezeExcite(nn.Module):
     def __call__(self, x):
         nin = x.shape[-1]
         ns = nin // 4
-        # exact global pooling even under spatial sharding
-        from empanada_tpu.parallel.spatial import spatial_global_mean
-
-        s = spatial_global_mean(x)
-        s = nn.Conv(ns, (1, 1), use_bias=True, dtype=self.dtype, name="squeeze")(s)
+        s = nn.Conv(ns, (1, 1), use_bias=True, dtype=self.dtype, name="squeeze")(x)
         s = nn.relu(s)
         s = nn.Conv(nin, (1, 1), use_bias=True, dtype=self.dtype, name="excite")(s)
         return x * nn.sigmoid(s)

@@ -90,6 +90,12 @@ class RegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.output_stride in (16, 32)
+        # flax infers conv input channels from x, so im_channels would
+        # otherwise be silently ignored — validate instead
+        assert x.shape[-1] == self.im_channels, (
+            f"input has {x.shape[-1]} channels, model configured for "
+            f"im_channels={self.im_channels}"
+        )
         strides = [2, 2, 2, 2]
         if self.output_stride == 16:
             strides[-1] = 1

@@ -116,6 +116,12 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.output_stride in (16, 32)
+        # flax infers conv input channels from x, so in_channels would
+        # otherwise be silently ignored — validate instead
+        assert x.shape[-1] == self.in_channels, (
+            f"input has {x.shape[-1]} channels, model configured for "
+            f"in_channels={self.in_channels}"
+        )
         # 7x7/2 stem; on TPU the few-channel conv goes through the exact
         # space-to-depth rewrite (blocks.s2d_stride2_conv) — the direct
         # form runs at ~3% of MXU peak with cin=1

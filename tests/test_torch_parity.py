@@ -117,6 +117,38 @@ class TestPanopticDeepLabParity:
 
 
 class TestBiFPNParity:
+    def test_regnet_se_encoder_parity(self):
+        """SE-equipped RegNetY encoder parity (MitoNet_v1_mini's encoder
+        family).  The reference's SE 'pool' (nn.AvgPool2d((1,1)),
+        blocks.py:38) is an identity, so its published SE weights expect
+        PER-PIXEL gating — this test pins that exact behavior."""
+        import torch
+
+        from empanada.models.encoders.regnet import regnety_200mf
+
+        from empanada_tpu.models.regnet import RegNet, RegNetParams, regnet_configs
+        from empanada_tpu.port.torch_port import _TreeBuilder, _port_regnet
+
+        tenc = regnety_200mf(use_se=True).eval()
+        _randomize_bn(tenc)
+
+        p = RegNetParams(**regnet_configs["regnety_200mf"], use_se=True)
+        fenc = RegNet(widths=p.widths, depths=p.depths, groups=p.groups,
+                      use_se=True)
+
+        b = _TreeBuilder({f"encoder.{k}": v for k, v in tenc.state_dict().items()})
+        _port_regnet(b, p.widths, p.depths, True)
+        variables = {"params": b.params["encoder"],
+                     "batch_stats": b.batch_stats["encoder"]}
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 1, (1, 64, 64, 1)).astype(np.float32)
+        with torch.no_grad():
+            tout = tenc(torch.from_numpy(x.transpose(0, 3, 1, 2)))[-1].numpy()
+        fout = fenc.apply(variables, jnp.asarray(x), train=False)[-1]
+        fout = np.asarray(fout).transpose(0, 3, 1, 2)
+        assert np.abs(fout - tout).max() < 1e-5
+
     def test_bifpn_regnet(self, x128):
         from empanada.models import PanopticBiFPN as TorchBiFPN
 
