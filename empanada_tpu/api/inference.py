@@ -325,6 +325,20 @@ class Engine2d:
                 pan_seg[row, s:e] = c + min_id
         return pan_seg
 
+    def _warn_overflow(self):
+        dropped = self.engine.dropped_centers()
+        if dropped:
+            import sys
+
+            print(
+                f"warning: up to {dropped} NMS centers exceeded "
+                f"max_centers={self.engine.max_centers} and were dropped "
+                "(instances merged into nearest neighbors) — rerun with a "
+                "larger max_centers",
+                file=sys.stderr,
+            )
+        self.engine.reset_overflow()
+
     def infer(self, image: np.ndarray) -> np.ndarray:
         if self.spatial_engine is not None:
             size = image.shape
@@ -382,12 +396,14 @@ class Engine2d:
                     rle_seg[label] = merge_semantic_from_tiles(
                         [rs[label] for rs in rle_segs]
                     )
+            self._warn_overflow()
             return rle_seg_to_pan_seg(rle_seg, image.shape).astype(np.int64)
 
         size = image.shape
         image = resize_by_factor(image, self.inference_scale)
         image = self.preprocessor(image)["image"]
         pan_seg = self.engine(image, size, upsampling=self.inference_scale)
+        self._warn_overflow()
         return self.force_connected(pan_seg.astype(np.int64))
 
 
@@ -595,6 +611,19 @@ class Engine3d:
             for pan_seg in self.engine.end(self.inference_scale):
                 _put(pan_seg)
             rle_stack = loaded_stack + worker.finish()
+
+        dropped = self.engine.dropped_centers()
+        if dropped:
+            import sys
+
+            print(
+                f"warning: axis {axis_name}: up to {dropped} NMS centers per "
+                f"slice exceeded max_centers={self.engine.max_centers} and "
+                "were dropped (instances merged into nearest neighbors) — "
+                "rerun with a larger max_centers",
+                file=sys.stderr,
+            )
+        self.engine.reset_overflow()
 
         axis_len = volume.shape[axis]
         with timer.stage("backward_matching"):

@@ -66,6 +66,14 @@ class MedianQueue:
             return self.queue[-1]
         if nq < self.ks:
             return None
+        # DELIBERATE DIVERGENCE (PARITY.md "Known divergences"): the
+        # reference mutates the middle item IN its deque
+        # (engines.py:79-82 `output[key] = self.get_median(key)`), so its
+        # later windows median over already-medianed slices — an
+        # accidental recursive/IIR filter.  Reproducing that would thread
+        # a sequential dependency through the batched multi-chip median
+        # and through checkpoint resume (the cascade reaches back to
+        # slice 0), so every window here medians RAW slice outputs.
         out = dict(self.queue[self.mid_idx])
         for key in keys:
             stack = jnp.stack([item[key] for item in self.queue], axis=0)
@@ -123,9 +131,10 @@ class PanopticDeepLabEngine(_EngineBase):
         nms_kernel: int = 7,
         confidence_thr: float = 0.5,
         max_centers: int = 256,
+        input_dtype=jnp.float32,
         **kwargs,
     ):
-        super().__init__(model, variables)
+        super().__init__(model, variables, input_dtype)
         self.thing_list = tuple(int(t) for t in thing_list)
         self.label_divisor = int(label_divisor)
         self.stuff_area = int(stuff_area)
@@ -229,11 +238,14 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         self._build_jits()
 
     def _build_jits(self):
+        self._overflow_dev = None
+
         @partial(jax.jit, static_argnames=("upsampling",))
         def _cells(ctr_hmp, offsets, upsampling=1):
             return pp.get_instance_cells(
                 ctr_hmp, offsets, self.coarse_boundaries, upsampling,
                 self.nms_threshold, self.nms_kernel, self.max_centers,
+                return_overflow=True,
             )
 
         @jax.jit
@@ -258,7 +270,24 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         return out
 
     def get_instance_cells(self, ctr_hmp, offsets, upsampling: int = 1):
-        return self._cells(ctr_hmp, offsets, upsampling=int(upsampling))
+        cells, n_over = self._cells(ctr_hmp, offsets, upsampling=int(upsampling))
+        # device-side max accumulation: no fetch on the dispatch path; one
+        # scalar fetch in dropped_centers() reads the whole run's worst case
+        self._overflow_dev = (
+            n_over if self._overflow_dev is None
+            else jnp.maximum(self._overflow_dev, n_over)
+        )
+        return cells
+
+    def dropped_centers(self) -> int:
+        """Worst-case number of NMS centers dropped by the ``max_centers``
+        cap in any slice since the last reset (one device fetch).  The
+        reference has no cap (unbounded torch.nonzero), so a nonzero value
+        means instances were silently merged — raise ``max_centers``."""
+        return 0 if self._overflow_dev is None else int(self._overflow_dev)
+
+    def reset_overflow(self):
+        self._overflow_dev = None
 
     def postprocess(self, sem_prob, cells) -> jnp.ndarray:
         return self._merge(sem_prob, cells)
@@ -337,8 +366,9 @@ class BCEngine(_EngineBase):
     (engines.py:396-434); consumed offline by bc_watershed."""
 
     def __init__(self, model, variables, padding_factor: int = 16,
-                 shape_buckets: bool = False, **kwargs):
-        super().__init__(model, variables)
+                 shape_buckets: bool = False, input_dtype=jnp.float32,
+                 **kwargs):
+        super().__init__(model, variables, input_dtype)
         self.padding_factor = padding_factor
         self.shape_buckets = bool(shape_buckets)
 

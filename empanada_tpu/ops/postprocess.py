@@ -99,7 +99,8 @@ def find_instance_center(
     threshold: float = 0.1,
     nms_kernel: int = 7,
     max_centers: int = 256,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_count: bool = False,
+):
     """Center NMS with a fixed-size output.
 
     Args:
@@ -107,10 +108,15 @@ def find_instance_center(
         max_centers: static K; up to K surviving peaks are returned in
             ascending flat-index (scanline) order, matching the reference's
             ``torch.nonzero`` ordering.
+        return_count: also return the TOTAL number of surviving peaks (a
+            device scalar) so callers can detect when the fixed K dropped
+            centers — the reference has no cap, so silent truncation would
+            be a real divergence in the 257..~label_divisor range.
 
     Returns:
         centers: (K, 2) float32 (y, x) peak coordinates (0 where invalid).
         valid: (K,) bool.
+        n_peaks (when return_count): () int32 total surviving peaks.
     """
     h, w = ctr_hmp.shape[1], ctr_hmp.shape[2]
     t = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
@@ -135,6 +141,8 @@ def find_instance_center(
     valid = top != neg_big
     flat_idx = jnp.where(valid, -top, 0)
     centers = jnp.stack([flat_idx // w, flat_idx % w], axis=-1).astype(jnp.float32)
+    if return_count:
+        return centers, valid, keep_flat.sum(dtype=jnp.int32)
     return centers, valid
 
 
@@ -199,18 +207,27 @@ def get_instance_cells(
     threshold: float = 0.1,
     nms_kernel: int = 7,
     max_centers: int = 256,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """Reference ``PanopticDeepLabRenderEngine.get_instance_cells``
     (engines.py:257): NMS + grouping (at 1/4 res when coarse) + nearest
-    upsample of the id map by ``upsampling * step``."""
+    upsample of the id map by ``upsampling * step``.
+
+    With ``return_overflow``, also returns the number of NMS-surviving
+    centers DROPPED by the static ``max_centers`` cap (() int32 device
+    scalar; 0 in the common case)."""
     step = 4 if coarse_boundaries else 1
-    centers, valid = find_instance_center(ctr_hmp, threshold, nms_kernel, max_centers)
+    centers, valid, n_peaks = find_instance_center(
+        ctr_hmp, threshold, nms_kernel, max_centers, return_count=True
+    )
     cells = group_pixels(centers, valid, offsets, step=step)
     scale = int(upsampling * step)
     if scale > 1:
         cells = nearest_resize(
             cells[..., None], (cells.shape[1] * scale, cells.shape[2] * scale)
         )[..., 0]
+    if return_overflow:
+        return cells, jnp.maximum(n_peaks - valid.sum(dtype=jnp.int32), 0)
     return cells
 
 

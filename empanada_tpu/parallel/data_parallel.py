@@ -170,9 +170,10 @@ class MultiChipEngine3d:
 
         def _post_one(sem_med, ctr_hmp, offsets, upsampling):
             """sem_med (H, W, C); ctr (h, w, 1); off (h, w, 2) -> (H, W)."""
-            cells = pp.get_instance_cells(
+            cells, n_over = pp.get_instance_cells(
                 ctr_hmp[None], offsets[None], self.coarse_boundaries, upsampling,
                 self.nms_threshold, self.nms_kernel, self.max_centers,
+                return_overflow=True,
             )
             sem_h = pp.harden_seg(sem_med[None], self.confidence_thr)
             ins = jnp.where(pp._thing_mask(sem_h, self.thing_list), cells, 0)
@@ -180,7 +181,7 @@ class MultiChipEngine3d:
                 sem_h, ins, self.label_divisor, self.thing_list, self.stuff_area,
                 self.void_label, self.num_classes, self.max_centers,
             )
-            return pan[0]
+            return pan[0], n_over
 
         @partial(jax.jit, static_argnames=("upsampling", "crop", "max_runs"))
         def postprocess_batch(sem_ctx, ctr, off, win_idx, use_median,
@@ -203,12 +204,15 @@ class MultiChipEngine3d:
             med = jnp.median(sem_windows, axis=1)
             raw = sem_windows[:, self.mid]
             sem = jnp.where(use_median[:, None, None, None], med, raw)
-            pans = jax.vmap(lambda s, c, o: _post_one(s, c, o, upsampling))(sem, ctr, off)
+            pans, n_over = jax.vmap(
+                lambda s, c, o: _post_one(s, c, o, upsampling)
+            )(sem, ctr, off)
+            n_over = n_over.max()
             if max_runs <= 0:
-                return pans, None
+                return pans, None, n_over
             h, w = crop
             pans = pans[:, :h, :w]
-            return pans, pp.encode_runs_packed(pans, max_runs)
+            return pans, pp.encode_runs_packed(pans, max_runs), n_over
 
         self._forward = forward
         self._post_batch = postprocess_batch
@@ -417,6 +421,7 @@ class MultiChipEngine3d:
                     put(pan.astype(np.int64))
 
         pending = None
+        overflow_dev = None
         max_runs = None  # resolved once size is known (first forward)
         t_stream = timer.stage("device_stream+forward_matching")
         t_stream.__enter__()
@@ -449,11 +454,16 @@ class MultiChipEngine3d:
             h, w = size
             if max_runs is None:
                 max_runs = self._max_runs(w)
-            pans_dev, packed = self._post_batch(
+            pans_dev, packed, n_over = self._post_batch(
                 ctx, ctr, off,
                 jnp.asarray(win_local), jnp.asarray(use_median),
                 upsampling=self.inference_scale,
                 crop=(h, w), max_runs=max_runs,
+            )
+            # device-side max accumulation (no fetch on the dispatch path)
+            overflow_dev = (
+                n_over if overflow_dev is None
+                else jnp.maximum(overflow_dev, n_over)
             )
             # drain the PREVIOUS batch while this one computes (the matcher
             # must see slices in order, so drain before queueing this one)
@@ -479,6 +489,16 @@ class MultiChipEngine3d:
         if pending is not None:
             drain(pending)
         rle_stack = loaded_stack + worker.finish()
+        if overflow_dev is not None and int(overflow_dev):
+            import sys
+
+            print(
+                f"warning: axis {axis_name}: up to {int(overflow_dev)} NMS "
+                f"centers per slice exceeded max_centers={self.max_centers} "
+                "and were dropped (instances merged into nearest neighbors) "
+                "— rerun with a larger max_centers",
+                file=sys.stderr,
+            )
         t_stream.__exit__(None, None, None)
 
         # phase C: backward matching + tracking + filters (host)

@@ -98,6 +98,37 @@ class TestFindInstanceCenter:
         _, valid = pp.find_instance_center(hmp, max_centers=8)
         assert not bool(valid.any())
 
+    def test_overflow_count(self):
+        """The static max_centers cap must be detectable: the reference has
+        no cap (unbounded torch.nonzero), so silent truncation would be a
+        real divergence on crowded slices."""
+        # 25 isolated peaks on a grid, cap at 16 -> 9 dropped
+        hmp = np.zeros((40, 40), np.float32)
+        for y in range(4, 40, 8):
+            for x in range(4, 40, 8):
+                hmp[y, x] = 0.9
+        centers, valid, n_peaks = pp.find_instance_center(
+            jnp.asarray(hmp)[None, :, :, None], threshold=0.1, nms_kernel=3,
+            max_centers=16, return_count=True,
+        )
+        assert int(n_peaks) == 25 and int(valid.sum()) == 16
+
+        cells, n_over = pp.get_instance_cells(
+            jnp.asarray(hmp)[None, :, :, None],
+            jnp.zeros((1, 40, 40, 2)), coarse_boundaries=False,
+            threshold=0.1, nms_kernel=3, max_centers=16,
+            return_overflow=True,
+        )
+        assert int(n_over) == 9
+        # no overflow when the cap is large enough
+        _, n_over2 = pp.get_instance_cells(
+            jnp.asarray(hmp)[None, :, :, None],
+            jnp.zeros((1, 40, 40, 2)), coarse_boundaries=False,
+            threshold=0.1, nms_kernel=3, max_centers=32,
+            return_overflow=True,
+        )
+        assert int(n_over2) == 0
+
 
 class TestGroupPixels:
     def test_matches_oracle(self, rng):
