@@ -245,7 +245,13 @@ def merge_semantic_from_trackers(semantic_trackers, pixel_vote_thr: int = 2) -> 
 
     seg_ranges = vote_by_ranges([_ranges_of(s, r) for s, r in zip(starts, runs)], pixel_vote_thr)
     if len(seg_ranges) == 0:
-        return {}
+        # PARITY: the reference still emits the semantic instance record
+        # (key 1) with an empty RLE when the vote clears nothing
+        # (consensus.py:340-346) — except when fewer non-empty trackers
+        # than vote_thr exist, where its numba vote returns a 1-D empty
+        # array and it CRASHES on seg_ranges[:, 0]; we return the
+        # empty-RLE record there too instead of reproducing the crash.
+        seg_ranges = np.empty((0, 2), dtype=np.int64)
     return {
         1: {
             "box": merged_box,

@@ -107,6 +107,7 @@ def _force_connected_relabel(mask, labels, label_divisor, thing_list):
             continue
         lo = label * label_divisor
         hi = min((label + 1) * label_divisor, max_id + 1)
+        class_end = (label + 1) * label_divisor
         next_id = lo + 1
         for val in range(lo, hi):
             sl = objs[val - 1] if val >= 1 else None
@@ -116,6 +117,15 @@ def _force_connected_relabel(mask, labels, label_divisor, thing_list):
             cc, n = ndimage.label(binary, structure=structure)
             view = out[sl]
             for comp in range(1, n + 1):
+                if next_id >= class_end:
+                    # same loud failure as runs_to_rle_seg (rle_seg.py):
+                    # spilling ids into the next class's window silently
+                    # reassigns fragments to the wrong class
+                    raise ValueError(
+                        f"class {label}: connected components exceed "
+                        f"label_divisor={label_divisor}; raise the label "
+                        "divisor"
+                    )
                 view[cc == comp] = next_id
                 next_id += 1
     return out
@@ -175,7 +185,12 @@ def fill_holes_in_segmentation(object_tracker, volume_shape, labels, label_divis
             y1, x1, y2, x2 = attrs["box"]
             crop = sl[y1:y2, x1:x2]
             filled = ndimage.binary_fill_holes(crop == label)
-            crop[filled] = label
+            # claim only BACKGROUND pixels: an instance living inside this
+            # instance's hole must survive.  (The reference instead
+            # union-fills the bbox and overwrites it wholesale with
+            # rp.label, clobbering neighbors inside the bbox —
+            # filters.py:201-203; divergence documented in PARITY.md.)
+            crop[filled & (crop == 0)] = label
 
     object_tracker.instances = _dense_to_tracker_instances(
         mask_3d, labels, label_divisor, thing_list

@@ -260,6 +260,60 @@ class TestFilters:
         apply_filters(tracker, [{"name": "remove_small_objects", "min_size": 10**6}])
         assert len(tracker.instances) == 0
 
+    def test_fill_holes_preserves_nested_instance(self):
+        """An instance living inside another instance's hole must survive
+        hole filling; only background hole pixels are claimed (the
+        reference clobbers bbox neighbors — PARITY.md divergence 6)."""
+        from empanada_tpu.stitch.filters import fill_holes_in_segmentation
+
+        vol = np.zeros((1, 24, 24), np.int64)
+        vol[0, 2:20, 2:20] = 1001            # ring with a big hole
+        vol[0, 6:16, 6:16] = 0               # the hole
+        vol[0, 9:13, 9:13] = 1002            # nested instance inside the hole
+        tracker = InstanceTracker(1, 1000, vol.shape, "xy")
+        rle_seg = pan_seg_to_rle_seg(vol[0], [1], 1000, [1], force_connected=False)
+        tracker.update(rle_seg[1], 0)
+        tracker.finish()
+
+        fill_holes_in_segmentation(tracker, vol.shape, [1], 1000, [1])
+        areas = {k: int(np.sum(a["runs"])) for k, a in tracker.instances.items()}
+        assert len(areas) == 2, areas
+        # nested instance untouched (16 px); ring filled hole background
+        nested_area = min(areas.values())
+        ring_area = max(areas.values())
+        assert nested_area == 16
+        assert ring_area == 18 * 18 - 16  # hole background claimed by ring
+
+    def test_relabel_overflow_fails_loudly(self):
+        from empanada_tpu.stitch.filters import _force_connected_relabel
+
+        # 4 isolated fragments of one instance, label_divisor=4 -> ids would
+        # spill into class 2's window
+        mask = np.zeros((2, 20), np.int64)
+        for i in range(4):
+            mask[0, i * 5] = 5  # class 1 (divisor 4): 4 isolated components
+        with pytest.raises(ValueError, match="exceed label_divisor"):
+            _force_connected_relabel(mask, [1], 4, [1])
+
+    def test_semantic_consensus_sparse_coverage(self):
+        """One axis only (< vote_thr non-empty trackers): emit the semantic
+        record with an empty RLE instead of the reference's IndexError
+        (PARITY.md divergence 9)."""
+        vol = np.zeros((4, 8, 8), np.int64)
+        vol[1:3, 2:6, 2:6] = 1000
+        trackers = []
+        for axis in ("xy", "xz", "yz"):
+            trackers.append(InstanceTracker(1, 1000, vol.shape, axis))
+        # only xy sees anything
+        for idx in range(vol.shape[0]):
+            rle_seg = pan_seg_to_rle_seg(vol[idx], [1], 1000, [1], force_connected=False)
+            trackers[0].update(rle_seg[1], idx)
+        for tr in trackers:
+            tr.finish()
+        out = merge_semantic_from_trackers(trackers, pixel_vote_thr=2)
+        assert list(out) == [1]
+        assert len(out[1]["starts"]) == 0 and len(out[1]["runs"]) == 0
+
 
 def test_sparse_assignment_matches_dense():
     """Component-decomposed Hungarian must reproduce the dense solve exactly
