@@ -526,12 +526,13 @@ class Engine3d:
 
     def infer_on_axis(self, volume, axis_name: str, timer=None,
                       checkpoint_dir=None, checkpoint_every: int = 64,
-                      resume: bool = False):
+                      resume: bool = False, progress: bool = False):
         """Slice-streamed inference with the forward matcher running in a
         thread, backward matching, filters, and optional panoptic fill.
 
         ``timer``: optional empanada_tpu.utils.StageTimer for per-stage
-        wall-clock observability.
+        wall-clock observability.  ``progress``: rate/ETA lines to stderr
+        (the reference's tqdm equivalent).
 
         ``checkpoint_dir``: when set, the forward-matched RLE stack is
         persisted every ``checkpoint_every`` slices; with ``resume=True`` a
@@ -581,6 +582,12 @@ class Engine3d:
         worker = MatcherWorker(matchers, self.labels, self.label_divisor,
                                self.thing_list,
                                force_connected=self.force_connected)
+        from empanada_tpu.utils import Progress
+
+        axis_total = volume.shape[axis]
+        bar = Progress(total=axis_total, desc=f"axis {axis_name}",
+                       enabled=progress)
+        bar.n = start  # resumed slices count as done
         emitted = 0
         last_saved = 0
 
@@ -593,6 +600,7 @@ class Engine3d:
                 return
             emitted += 1
             worker.put(pan_seg)
+            bar.update()
             if fc is not None:
                 done = len(worker.rle_stack)  # append-only; prefix immutable
                 if done - last_saved >= checkpoint_every:
@@ -611,6 +619,7 @@ class Engine3d:
             for pan_seg in self.engine.end(self.inference_scale):
                 _put(pan_seg)
             rle_stack = loaded_stack + worker.finish()
+        bar.close()
 
         dropped = self.engine.dropped_centers()
         if dropped:
@@ -664,7 +673,8 @@ class Engine3d:
         return stack, trackers
 
     def infer_orthoplane(self, volume, checkpoint_dir=None,
-                         checkpoint_every: int = 64, resume: bool = False):
+                         checkpoint_every: int = 64, resume: bool = False,
+                         progress: bool = False):
         """xy/xz/yz sweeps; returns the combined tracker dict for consensus
         (the reference widget's _orthoplane_inference loop).
 
@@ -690,6 +700,7 @@ class Engine3d:
             _, axis_trackers = self.infer_on_axis(
                 volume, axis_name, checkpoint_dir=checkpoint_dir,
                 checkpoint_every=checkpoint_every, resume=resume,
+                progress=progress,
             )
             if checkpoint_dir is not None:
                 ckpt.save_axis_trackers(

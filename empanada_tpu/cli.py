@@ -237,6 +237,10 @@ def _infer3d_one(args, model_name, multi=False):
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
     )
+    progress = args.progress
+    if progress is None:
+        progress = sys.stderr.isatty()
+    ckpt_kw["progress"] = progress
 
     volume = _load_array(args.volume)
     if args.orthoplane:
@@ -451,6 +455,10 @@ def build_parser():
                     dest="checkpoint_every")
     sp.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint-dir state if present")
+    sp.add_argument("--progress", action="store_true", default=None,
+                    help="per-slice rate/ETA on stderr (default: on when "
+                         "stderr is a terminal)")
+    sp.add_argument("--no-progress", dest="progress", action="store_false")
     common_infer(sp)
     sp.set_defaults(func=cmd_infer3d)
 

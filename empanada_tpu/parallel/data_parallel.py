@@ -277,7 +277,7 @@ class MultiChipEngine3d:
 
     def infer_on_axis(self, volume, axis_name: str, timer=None,
                       checkpoint_dir=None, checkpoint_every: int = 64,
-                      resume: bool = False):
+                      resume: bool = False, progress: bool = False):
         """``timer``: optional empanada_tpu.utils.StageTimer — same
         observability surface as Engine3d (last_timing after each call).
 
@@ -345,6 +345,11 @@ class MultiChipEngine3d:
         worker = MatcherWorker(matchers, self.labels, self.label_divisor,
                                self.thing_list,
                                force_connected=self.force_connected)
+        from empanada_tpu.utils import Progress
+
+        bar = Progress(total=n_slices, desc=f"axis {axis_name}",
+                       enabled=progress)
+        bar.n = z_done  # resumed slices count as done
         emitted = 0
         last_saved = 0
 
@@ -357,6 +362,7 @@ class MultiChipEngine3d:
                 return
             emitted += 1
             worker.put(item)
+            bar.update()
             if fc is not None:
                 done = len(worker.rle_stack)  # append-only; prefix immutable
                 if done - last_saved >= checkpoint_every:
@@ -489,6 +495,7 @@ class MultiChipEngine3d:
         if pending is not None:
             drain(pending)
         rle_stack = loaded_stack + worker.finish()
+        bar.close()
         if overflow_dev is not None and int(overflow_dev):
             import sys
 
@@ -528,7 +535,8 @@ class MultiChipEngine3d:
         return stack, trackers
 
     def infer_orthoplane(self, volume, checkpoint_dir=None,
-                         checkpoint_every: int = 64, resume: bool = False):
+                         checkpoint_every: int = 64, resume: bool = False,
+                         progress: bool = False):
         """Same per-axis resume contract as Engine3d.infer_orthoplane:
         completed axes persist finished trackers and are skipped on
         resume; a partial axis continues from its forward checkpoint."""
@@ -559,6 +567,7 @@ class MultiChipEngine3d:
             _, axis_trackers = self.infer_on_axis(
                 volume, axis_name, checkpoint_dir=checkpoint_dir,
                 checkpoint_every=checkpoint_every, resume=resume,
+                progress=progress,
             )
             if checkpoint_dir is not None:
                 ckpt.save_axis_trackers(

@@ -151,6 +151,44 @@ class TestEngine3d:
         assert outs2[0][0].shape == vol.shape
 
 
+class TestProgress:
+    def test_progress_format_and_throttle(self):
+        import io
+
+        from empanada_tpu.utils import Progress
+
+        buf = io.StringIO()
+        with Progress(total=10, desc="axis xy", min_interval=0.0,
+                      stream=buf) as bar:
+            for _ in range(10):
+                bar.update()
+        out = buf.getvalue()
+        assert "axis xy: 10/10 (100.0%)" in out and "ETA" in out
+
+    def test_progress_disabled_is_silent(self):
+        import io
+
+        from empanada_tpu.utils import Progress
+
+        buf = io.StringIO()
+        bar = Progress(total=5, enabled=False, stream=buf)
+        for _ in range(5):
+            bar.update()
+        bar.close()
+        assert buf.getvalue() == ""
+
+    def test_engine3d_progress_lines(self, tiny_config,
+                                     tiny_model_and_variables, capsys):
+        eng = api.Engine3d(
+            tiny_config, median_kernel_size=1, min_size=0, min_extent=0,
+            max_centers=32, model_and_variables=tiny_model_and_variables,
+        )
+        vol = np.random.default_rng(1).integers(0, 255, (4, 48, 48), dtype=np.uint8)
+        eng.infer_on_axis(vol, "xy", progress=True)
+        err = capsys.readouterr().err
+        assert "axis xy: 4/4" in err
+
+
 class TestExportImport:
     def test_roundtrip(self, tmp_path, tiny_config, monkeypatch):
         import empanada_tpu.api.utils as U
