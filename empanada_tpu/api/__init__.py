@@ -1,6 +1,9 @@
 """Orchestration/API layer (L4/L6): engines, registry, configs, bundles."""
 
 from empanada_tpu.api.config import load_config, merge_dicts, read_yaml
+from empanada_tpu.api.deploy import (
+    ServingModel, export_serving_artifact, load_serving_artifact,
+)
 from empanada_tpu.api.export import archive_model, export_model, import_model
 from empanada_tpu.api.inference import (
     Engine2d,
@@ -24,6 +27,7 @@ from empanada_tpu.api.utils import (
 __all__ = [
     "load_config", "merge_dicts", "read_yaml",
     "archive_model", "export_model", "import_model",
+    "ServingModel", "export_serving_artifact", "load_serving_artifact",
     "Engine2d", "Engine3d", "combine_panoptic_maps", "instance_relabel",
     "stack_postprocessing", "tracker_consensus",
     "MODEL_DIR", "Preprocessor", "add_new_model", "get_configs",

@@ -321,6 +321,30 @@ def cmd_models(args):
     elif args.action == "archive":
         _require(args, "models archive", name=args.name, path=args.path)
         print(archive_model(args.name, args.path))
+    elif args.action == "deploy":
+        # self-contained StableHLO serving artifact (the reference's
+        # TorchScript-deploy analog): weights + full pipeline in one file,
+        # loadable with jax alone
+        from empanada_tpu.api import export_serving_artifact
+
+        _require(args, "models deploy", name=args.name, path=args.path)
+        h, w = (int(s) for s in args.shape.split("x"))
+        config = _model_config(args.name)
+        print(export_serving_artifact(
+            config, args.path, (h, w),
+            platforms=tuple(args.platforms.split(",")),
+        ))
+
+
+def cmd_serve(args):
+    """Run a serving artifact on an image — no model code or registry."""
+    from empanada_tpu.api import load_serving_artifact
+
+    model = load_serving_artifact(args.artifact)
+    image = _load_array(args.image)
+    pan = model(np.asarray(image))
+    _save_labels(args.output, pan.astype(np.int64))
+    print(f"wrote {args.output} ({len(np.unique(pan)) - 1} labeled segments)")
 
 
 def cmd_tiles(args):
@@ -481,12 +505,25 @@ def build_parser():
     sp.set_defaults(func=cmd_evaluate)
 
     sp = sub.add_parser("models", help="registry operations")
-    sp.add_argument("action", choices=["list", "export", "import", "archive"])
+    sp.add_argument("action",
+                    choices=["list", "export", "import", "archive", "deploy"])
     sp.add_argument("--name", default=None)
     sp.add_argument("--path", default=None)
     sp.add_argument("--quantize", action="store_true",
                     help="store int8 weights in the exported archive")
+    sp.add_argument("--shape", default="512x512",
+                    help="deploy: HxW the serving artifact is specialized for")
+    sp.add_argument("--platforms", default="cpu,tpu",
+                    help="deploy: comma-separated jax.export platforms")
     sp.set_defaults(func=cmd_models)
+
+    sp = sub.add_parser(
+        "serve", help="run a deployed serving artifact (needs only jax)"
+    )
+    sp.add_argument("artifact")
+    sp.add_argument("image")
+    sp.add_argument("-o", "--output", default="pan_seg.npy")
+    sp.set_defaults(func=cmd_serve)
 
     sp = sub.add_parser("tiles", help="offline big-image tiling")
     sp.add_argument("action", choices=["chop", "merge"])
