@@ -38,8 +38,8 @@ def export_serving_artifact(
     model_and_variables=None,
     label_divisor: int = 1000,
     nms_threshold: float = 0.1,
-    nms_kernel: int = 7,
-    confidence_thr: float = 0.5,
+    nms_kernel: int = 3,
+    confidence_thr: float = 0.3,
     stuff_area: int = 64,
     void_label: int = 0,
     max_centers: int = 256,
@@ -77,9 +77,16 @@ def export_serving_artifact(
     num_classes = int(model.num_classes) + 1
     coarse = not fine_boundaries
 
+    # replicate Preprocessor/normalize's EXACT float32 arithmetic
+    # (api/utils.py:216-223): subtract mean*max, multiply by the
+    # precomputed reciprocal — a different association differs by final
+    # ulps and can flip harden_seg at the confidence threshold, breaking
+    # the bit-identical engine-parity contract
+    norm_sub = np.float32(mean) * np.float32(255.0)
+    norm_mul = np.reciprocal(np.float32(std) * np.float32(255.0), dtype=np.float32)
+
     def pipeline(image_u8):
-        # exact engine preprocessing: u8/255 -> normalize -> pad
-        x = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+        x = (image_u8.astype(jnp.float32) - norm_sub) * norm_mul
         x = pp.factor_pad(x[None, :, :, None], padding_factor)
         out = model.apply(
             variables, x.astype(dtype), train=False,
@@ -147,6 +154,14 @@ class ServingModel:
             raise ValueError(
                 f"artifact is specialized for {self.input_shape}, "
                 f"got {image.shape} — export one artifact per input shape"
+            )
+        if image.dtype != np.uint8:
+            # silent coercion would wrap uint16 mod 256 / truncate floats;
+            # the baked normalization is uint8-specific
+            raise ValueError(
+                f"artifact expects uint8 input (normalization baked for "
+                f"the 0-255 range), got {image.dtype} — rescale to uint8 "
+                "first"
             )
         return np.asarray(self._exported.call(jnp.asarray(image, jnp.uint8)))
 

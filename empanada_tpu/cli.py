@@ -333,6 +333,11 @@ def cmd_models(args):
         print(export_serving_artifact(
             config, args.path, (h, w),
             platforms=tuple(args.platforms.split(",")),
+            nms_threshold=args.center_confidence,
+            nms_kernel=args.nms_kernel,
+            confidence_thr=args.segment_confidence,
+            fine_boundaries=args.fine_boundaries,
+            max_centers=args.max_centers,
         ))
 
 
@@ -515,6 +520,15 @@ def build_parser():
                     help="deploy: HxW the serving artifact is specialized for")
     sp.add_argument("--platforms", default="cpu,tpu",
                     help="deploy: comma-separated jax.export platforms")
+    # deploy bakes these into the artifact; defaults match infer2d's
+    sp.add_argument("--center-confidence", type=float, default=0.1,
+                    dest="center_confidence")
+    sp.add_argument("--nms-kernel", type=int, default=3, dest="nms_kernel")
+    sp.add_argument("--segment-confidence", type=float, default=0.3,
+                    dest="segment_confidence")
+    sp.add_argument("--fine-boundaries", action="store_true",
+                    dest="fine_boundaries")
+    sp.add_argument("--max-centers", type=int, default=256, dest="max_centers")
     sp.set_defaults(func=cmd_models)
 
     sp = sub.add_parser(

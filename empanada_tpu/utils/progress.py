@@ -37,8 +37,12 @@ class Progress:
         self._t0 = time.perf_counter()
         self._last = 0.0
         self._wrote = False
+        self._initial = None  # first-update baseline: pre-done (resumed)
+        # counts must not inflate the rate/ETA
 
     def update(self, n: int = 1):
+        if self._initial is None:
+            self._initial = self.n
         self.n += n
         if not self.enabled:
             return
@@ -50,7 +54,7 @@ class Progress:
 
     def _render(self, now: float):
         elapsed = max(now - self._t0, 1e-9)
-        rate = self.n / elapsed
+        rate = (self.n - (self._initial or 0)) / elapsed
         if self.total:
             pct = 100.0 * self.n / self.total
             eta = (self.total - self.n) / rate if rate > 0 else 0

@@ -165,6 +165,23 @@ class TestProgress:
         out = buf.getvalue()
         assert "axis xy: 10/10 (100.0%)" in out and "ETA" in out
 
+    def test_progress_resume_baseline_not_counted_in_rate(self):
+        import io
+        import time
+
+        from empanada_tpu.utils import Progress
+
+        buf = io.StringIO()
+        bar = Progress(total=1000, desc="axis xy", min_interval=0.0, stream=buf)
+        bar.n = 900  # resumed slices (pre-done)
+        time.sleep(0.05)
+        bar.update()  # one real slice in ~50ms -> rate ~20/s, NOT ~18000/s
+        line = buf.getvalue().rsplit("\r", 1)[-1]
+        rate = float(line.split("(")[1].split(")")[0].replace("%", ""))
+        assert "901/1000" in line
+        rate_str = line.split(") ")[1].split("/s")[0]
+        assert float(rate_str) < 1000, line
+
     def test_progress_disabled_is_silent(self):
         import io
 

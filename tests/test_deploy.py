@@ -57,10 +57,12 @@ class TestServingArtifact:
         img = make_blob_image((64, 64), n_blobs=3, seed=5)
         pan_served = served(img)
 
-        # must equal the engine path on the same input
+        # must equal the engine path on the same input (deploy defaults
+        # match the CLI surface: nms_kernel=3, confidence 0.3)
         engine = PanopticDeepLabRenderEngine(
             model, variables, thing_list=[1], padding_factor=16,
             coarse_boundaries=True, max_centers=32, confidence_thr=0.3,
+            nms_kernel=3, nms_threshold=0.1,
         )
         prep = Preprocessor(**tiny_config["norms"])(img)["image"]
         pan_engine = np.asarray(engine(prep, size=img.shape, upsampling=1))
@@ -77,6 +79,11 @@ class TestServingArtifact:
         served = api.load_serving_artifact(path)
         with pytest.raises(ValueError, match="specialized for"):
             served(np.zeros((96, 96), np.uint8))
+        # uint16 would wrap mod 256, floats would truncate — must raise
+        with pytest.raises(ValueError, match="expects uint8"):
+            served(np.zeros((64, 64), np.uint16))
+        with pytest.raises(ValueError, match="expects uint8"):
+            served(np.zeros((64, 64), np.float32))
 
     def test_cli_deploy_and_serve(
         self, tiny_config, tiny_model_and_variables, tmp_path, monkeypatch
