@@ -1,10 +1,13 @@
-"""Chunked on-disk volume store, zarr-v2 wire compatible (uncompressed).
+"""Chunked on-disk volume store, zarr-v2 wire compatible.
 
 The environment has no ``zarr`` package, so the framework ships its own
-minimal store: a directory with a ``.zarray`` JSON metadata file and raw
+minimal store: a directory with a ``.zarray`` JSON metadata file and
 C-order chunk files named ``i.j.k``.  With ``compressor: null`` this is
 byte-identical to a zarr v2 array, so volumes written here open in any zarr
-reader and vice versa (uncompressed stores only).
+reader and vice versa.  Compressed stores whose numcodecs codec maps onto a
+Python-stdlib stream format (``zlib``, ``gzip``, ``bz2``, ``lzma``) are also
+read and written natively; anything else (e.g. ``blosc``) falls back to the
+optional real ``zarr`` library via :func:`open_chunked`.
 
 Also implements the chunk-parallel RLE instance fill (reference
 ``empanada/zarr_utils.py:97`` ``zarr_fill_instances``): instance ranges are
@@ -41,30 +44,110 @@ def _dtype_str(dtype: np.dtype) -> str:
 
 
 class UnsupportedStoreError(RuntimeError):
-    """Store metadata the built-in (uncompressed-v2) reader can't handle."""
+    """Store metadata the built-in zarr-v2 reader can't handle."""
+
+
+def _zlib_compress(buf: bytes, cfg: dict) -> bytes:
+    import zlib
+
+    return zlib.compress(buf, cfg.get("level", 1))
+
+
+def _zlib_decompress(buf: bytes) -> bytes:
+    import zlib
+
+    return zlib.decompress(buf)
+
+
+def _gzip_compress(buf: bytes, cfg: dict) -> bytes:
+    import gzip
+
+    # mtime=0 keeps chunk bytes deterministic across rewrites
+    return gzip.compress(buf, compresslevel=cfg.get("level", 1), mtime=0)
+
+
+def _gzip_decompress(buf: bytes) -> bytes:
+    import gzip
+
+    return gzip.decompress(buf)
+
+
+def _bz2_compress(buf: bytes, cfg: dict) -> bytes:
+    import bz2
+
+    return bz2.compress(buf, cfg.get("level", 1))
+
+
+def _bz2_decompress(buf: bytes) -> bytes:
+    import bz2
+
+    return bz2.decompress(buf)
+
+
+def _lzma_compress(buf: bytes, cfg: dict) -> bytes:
+    import lzma
+
+    # numcodecs LZMA default: XZ container, preset from config
+    filters = [{"id": lzma.FILTER_LZMA2, "preset": cfg.get("preset") or 1}]
+    return lzma.compress(buf, format=cfg.get("format", lzma.FORMAT_XZ), filters=filters)
+
+
+def _lzma_decompress(buf: bytes) -> bytes:
+    import lzma
+
+    return lzma.decompress(buf)
+
+
+# numcodecs codec id -> (compress(bytes, cfg), decompress(bytes)); all four
+# are container stream formats the Python stdlib decodes, so stores written
+# by numcodecs Zlib/GZip/BZ2/LZMA round-trip without the zarr library
+_CODECS = {
+    "zlib": (_zlib_compress, _zlib_decompress),
+    "gzip": (_gzip_compress, _gzip_decompress),
+    "bz2": (_bz2_compress, _bz2_decompress),
+    "lzma": (_lzma_compress, _lzma_decompress),
+}
+
+
+def _normalize_compressor(compressor):
+    """None | codec-id string | numcodecs config dict -> config dict or None."""
+    if compressor is None:
+        return None
+    if isinstance(compressor, str):
+        compressor = {"id": compressor}
+    cid = compressor.get("id")
+    if cid not in _CODECS:
+        raise UnsupportedStoreError(
+            f"unsupported compressor {compressor!r}; built-in codecs: "
+            f"{sorted(_CODECS)}"
+        )
+    return dict(compressor)
 
 
 class ChunkedArray:
     """N-d chunked array backed by a zarr-v2 compatible directory."""
 
-    def __init__(self, path: str, shape, chunks, dtype, fill_value=0):
+    def __init__(self, path: str, shape, chunks, dtype, fill_value=0,
+                 compressor=None):
         self.path = path
         self.shape = tuple(int(s) for s in shape)
         self.chunks = tuple(int(c) for c in chunks)
         self.dtype = np.dtype(dtype)
         self.fill_value = fill_value
         self.ndim = len(self.shape)
+        self.compressor = _normalize_compressor(compressor)
 
     # -- metadata ----------------------------------------------------------
     @classmethod
     def open(cls, path: str) -> "ChunkedArray":
         with open(os.path.join(path, ".zarray")) as f:
             meta = json.load(f)
-        if meta.get("compressor") is not None:
+        comp = meta.get("compressor")
+        if comp is not None and comp.get("id") not in _CODECS:
             raise UnsupportedStoreError(
-                f"{path}: compressed zarr store (compressor="
-                f"{meta['compressor']!r}); the built-in reader handles "
-                "uncompressed v2 only"
+                f"{path}: compressed zarr store (compressor={comp!r}); the "
+                f"built-in reader decodes {sorted(_CODECS)} and uncompressed "
+                "v2 only"
             )
         if meta.get("order", "C") != "C":
             raise UnsupportedStoreError(
@@ -78,18 +161,20 @@ class ChunkedArray:
                 "built-in reader decodes raw uncompressed chunks only"
             )
         dtype = _DTYPE_MAP.get(meta["dtype"], None) or np.dtype(meta["dtype"])
-        return cls(path, meta["shape"], meta["chunks"], dtype, meta.get("fill_value", 0))
+        return cls(path, meta["shape"], meta["chunks"], dtype,
+                   meta.get("fill_value", 0), compressor=comp)
 
     @classmethod
-    def create(cls, path: str, shape, chunks, dtype, fill_value=0) -> "ChunkedArray":
+    def create(cls, path: str, shape, chunks, dtype, fill_value=0,
+               compressor=None) -> "ChunkedArray":
         os.makedirs(path, exist_ok=True)
-        arr = cls(path, shape, chunks, dtype, fill_value)
+        arr = cls(path, shape, chunks, dtype, fill_value, compressor=compressor)
         meta = {
             "zarr_format": 2,
             "shape": list(arr.shape),
             "chunks": list(arr.chunks),
             "dtype": _dtype_str(arr.dtype),
-            "compressor": None,
+            "compressor": arr.compressor,
             "fill_value": int(fill_value) if np.issubdtype(arr.dtype, np.integer) else fill_value,
             "order": "C",
             "filters": None,
@@ -112,13 +197,25 @@ class ChunkedArray:
     def _read_chunk(self, idx) -> np.ndarray:
         p = self._chunk_path(idx)
         if os.path.exists(p):
-            buf = np.fromfile(p, dtype=self.dtype)
+            if self.compressor is None:
+                buf = np.fromfile(p, dtype=self.dtype)
+            else:
+                with open(p, "rb") as f:
+                    raw = _CODECS[self.compressor["id"]][1](f.read())
+                # frombuffer is read-only; callers mutate chunks in-place
+                buf = np.frombuffer(raw, dtype=self.dtype).copy()
             return buf.reshape(self.chunks)
         return np.full(self.chunks, self.fill_value, dtype=self.dtype)
 
     def _write_chunk(self, idx, data: np.ndarray):
         assert data.shape == self.chunks
-        np.ascontiguousarray(data, dtype=self.dtype).tofile(self._chunk_path(idx))
+        data = np.ascontiguousarray(data, dtype=self.dtype)
+        if self.compressor is None:
+            data.tofile(self._chunk_path(idx))
+        else:
+            comp = _CODECS[self.compressor["id"]][0](data.tobytes(), self.compressor)
+            with open(self._chunk_path(idx), "wb") as f:
+                f.write(comp)
 
     # -- numpy-style access --------------------------------------------------
     def _normalize_sel(self, sel):
@@ -210,8 +307,9 @@ class ChunkedArray:
 def open_chunked(path: str):
     """Open a zarr-v2 directory store.
 
-    Uncompressed stores use the built-in reader; compressed stores fall back
-    to the real ``zarr`` library when importable (optional dependency — the
+    Uncompressed and stdlib-codec (zlib/gzip/bz2/lzma) stores use the
+    built-in reader; other compressed stores (e.g. blosc) fall back to the
+    real ``zarr`` library when importable (optional dependency — the
     reference requires it unconditionally, volume_dataset.py:3)."""
     try:
         return ChunkedArray.open(path)
@@ -233,8 +331,10 @@ def open_chunked(path: str):
         return zarr.open(path, mode="r")
 
 
-def create_chunked(path: str, shape, chunks, dtype, fill_value=0) -> ChunkedArray:
-    return ChunkedArray.create(path, shape, chunks, dtype, fill_value)
+def create_chunked(path: str, shape, chunks, dtype, fill_value=0,
+                   compressor=None) -> ChunkedArray:
+    return ChunkedArray.create(path, shape, chunks, dtype, fill_value,
+                               compressor=compressor)
 
 
 def _split_ranges_for_chunks(ranges: np.ndarray, shape, chunks):

@@ -47,6 +47,38 @@ class TestChunkedArray:
         arr = create_chunked(str(tmp_path / "d.zarr"), (8, 8), (4, 4), np.uint8)
         assert (np.asarray(arr) == 0).all()
 
+    @pytest.mark.parametrize("codec", ["zlib", "gzip", "bz2", "lzma"])
+    def test_stdlib_codec_roundtrip(self, tmp_path, rng, codec):
+        """Compressed stores with stdlib-decodable numcodecs formats read
+        and write without the zarr library."""
+        p = str(tmp_path / f"{codec}.zarr")
+        data = rng.integers(0, 1000, (10, 12)).astype(np.uint32)
+        arr = create_chunked(p, (10, 12), (4, 5), np.uint32, compressor=codec)
+        arr[:, :] = data
+        with open(os.path.join(p, ".zarray")) as f:
+            assert json.load(f)["compressor"]["id"] == codec
+        arr2 = open_chunked(p)
+        assert np.array_equal(np.asarray(arr2), data)
+        # partial rewrite through the compressed path
+        arr2[2:5, 3:9] = 7
+        got = open_chunked(p)[:, :]
+        data[2:5, 3:9] = 7
+        assert np.array_equal(got, data)
+
+    def test_zlib_chunk_bytes_match_numcodecs_format(self, tmp_path):
+        """Chunk files are plain zlib streams — exactly what numcodecs Zlib
+        writes — so a real zarr reader can decode them."""
+        import zlib
+
+        p = str(tmp_path / "z.zarr")
+        arr = create_chunked(p, (4, 4), (4, 4), np.int32,
+                             compressor={"id": "zlib", "level": 5})
+        data = np.arange(16, dtype=np.int32).reshape(4, 4)
+        arr[:, :] = data
+        with open(os.path.join(p, "0.0"), "rb") as f:
+            raw = zlib.decompress(f.read())
+        assert np.array_equal(np.frombuffer(raw, np.int32).reshape(4, 4), data)
+
 
 class TestChunkedFill:
     def test_matches_numpy_fill(self, tmp_path, rng):
