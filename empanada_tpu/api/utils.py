@@ -34,6 +34,7 @@ __all__ = [
     "save_model_bundle",
     "load_model_bundle",
     "load_model_from_config",
+    "model_info_text",
     "Preprocessor",
     "normalize",
 ]
@@ -57,6 +58,50 @@ def get_configs():
             name = os.path.splitext(os.path.basename(fn))[0]
             model_configs[name] = fn
     return model_configs
+
+
+def model_info_text(model_name: str) -> str:
+    """Model description + finetuning annotation instructions as text.
+
+    Headless equivalent of the reference "Get model info" widget
+    (empanada_napari/_finetune.py:157-202): the patch-divisibility rule,
+    the label divisor, and per-class starting labels annotators must use.
+    """
+    configs = get_configs()
+    if model_name not in configs:
+        raise KeyError(
+            f"unknown model {model_name!r}; registered: {sorted(configs)}"
+        )
+    config = read_yaml(configs[model_name])
+
+    thing_list = config.get("thing_list", [])
+    class_names = config.get("class_names", {})
+    pf = config.get("padding_factor", 128)
+    finetune = config.get("FINETUNE", {})
+    if finetune.get("dataset_class") == "PanopticDataset":
+        label_divisor = finetune.get("dataset_params", {}).get("label_divisor")
+    else:
+        label_divisor = None
+
+    lines = [
+        "MODEL INFORMATION",
+        "-----------------",
+        f"Model name: {model_name}",
+        f"Description:\n {str(config.get('description', '')).strip()}",
+        "",
+        "Finetuning instructions:",
+        f"  The size of annotated patches should be divisible by {pf}",
+        f"  Use a label divisor of {label_divisor}.",
+        "  Classes to annotate:",
+    ]
+    for cl, cn in class_names.items():
+        kind = "instance" if cl in thing_list else "semantic"
+        start_label = (cl * label_divisor) + 1 if label_divisor is not None else 1
+        lines.append(
+            f"    Class {cl} ({cn}) requires {kind} segmentation, "
+            f"start annotation at label {start_label}"
+        )
+    return "\n".join(lines)
 
 
 def add_new_model(model_name: str, config: dict, model_file: str | None = None):

@@ -312,6 +312,12 @@ def cmd_models(args):
     if args.action == "list":
         for name, path in sorted(get_configs().items()):
             print(f"{name}\t{path}")
+    elif args.action == "info":
+        # finetuning annotation instructions (reference _finetune.py:157)
+        from empanada_tpu.api.utils import model_info_text
+
+        _require(args, "models info", name=args.name)
+        print(model_info_text(args.name))
     elif args.action == "export":
         _require(args, "models export", name=args.name, path=args.path)
         print(export_model(args.name, args.path, quantize=args.quantize))
@@ -511,7 +517,8 @@ def build_parser():
 
     sp = sub.add_parser("models", help="registry operations")
     sp.add_argument("action",
-                    choices=["list", "export", "import", "archive", "deploy"])
+                    choices=["list", "info", "export", "import", "archive",
+                             "deploy"])
     sp.add_argument("--name", default=None)
     sp.add_argument("--path", default=None)
     sp.add_argument("--quantize", action="store_true",

@@ -20,7 +20,12 @@ from empanada_tpu.curation.ops import (
     morph_labels,
     split_labels,
 )
-from empanada_tpu.curation.patches import pick_flipbooks, pick_patches_2d, store_dataset
+from empanada_tpu.curation.patches import (
+    patch_boxes_from_points,
+    pick_flipbooks,
+    pick_patches_2d,
+    store_dataset,
+)
 from empanada_tpu.curation.tiles import chop_into_tiles, merge_tiles
 
 __all__ = [
@@ -30,5 +35,6 @@ __all__ = [
     "delete_labels", "find_next_available_label", "jump_to_label",
     "labels_at_points", "line_to_indices", "merge_labels", "morph_labels",
     "split_labels", "pick_flipbooks", "pick_patches_2d", "store_dataset",
+    "patch_boxes_from_points",
     "chop_into_tiles", "merge_tiles",
 ]

@@ -13,9 +13,37 @@ import os
 import numpy as np
 from PIL import Image
 
-__all__ = ["pick_patches_2d", "pick_flipbooks", "store_dataset"]
+__all__ = [
+    "pick_patches_2d",
+    "pick_flipbooks",
+    "store_dataset",
+    "patch_boxes_from_points",
+]
 
 FLIPBOOK_DEPTH = 5
+
+
+def patch_boxes_from_points(points, tile_width: int) -> list[np.ndarray]:
+    """Rectangle corners of the patch each point would pick.
+
+    Headless equivalent of the reference "Visualize patches" widget
+    (empanada_napari/_visualize_patches_from_points.py:44-76): for each
+    point the last two coordinates are the patch center in-plane; leading
+    coordinates (z, time, ...) are carried onto every corner so the shapes
+    land on the right slice.  Returns a list of (4, ndim) float arrays
+    ordered top-left, top-right, bottom-right, bottom-left — directly
+    consumable as a napari Shapes layer's data.
+    """
+    out = []
+    for point in np.atleast_2d(np.asarray(points, dtype=float)):
+        y, x = point[-2], point[-1]
+        half = tile_width / 2
+        y1, x1 = int(y - half), int(x - half)
+        y2, x2 = int(y + half), int(x + half)
+        corners = [(y1, x1), (y1, x2), (y2, x2), (y2, x1)]
+        lead = list(point[:-2])
+        out.append(np.asarray([lead + list(c) for c in corners], dtype=float))
+    return out
 
 
 def _crop_at(volume2d: np.ndarray, cy: int, cx: int, size: int):

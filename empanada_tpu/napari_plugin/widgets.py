@@ -26,6 +26,7 @@ __all__ = [
     "jump_to_label_widget",
     "find_next_available_label_widget",
     "pick_patches_widget",
+    "visualize_patches_widget",
     "store_dataset_widget",
     "finetuning_widget",
     "training_widget",
@@ -432,6 +433,26 @@ def pick_patches_widget():
     return widget
 
 
+def visualize_patches_widget():
+    """Reference _visualize_patches_from_points.py:6."""
+    magicgui = _magicgui()
+
+    @magicgui(call_button="Visualize patches")
+    def widget(
+        points_layer: "napari.layers.Points",  # noqa: F821
+        tile_width: int = 512,
+    ) -> "napari.types.LayerDataTuple":  # noqa: F821
+        from empanada_tpu.curation.patches import patch_boxes_from_points
+
+        points = _points(points_layer)
+        if points is None:
+            raise ValueError("No points in the points layer.")
+        rects = patch_boxes_from_points(points, tile_width)
+        return (rects, {"name": "Patches", "shape_type": "rectangle"}, "shapes")
+
+    return widget
+
+
 def store_dataset_widget():
     """Reference _pick_patches.py:494."""
     magicgui = _magicgui()
@@ -567,9 +588,9 @@ def get_info_widget():
 
     @magicgui(call_button="Get Info", model_name=dict(choices=_model_choices()))
     def widget(model_name: str = "MitoNet_v1") -> str:
-        from empanada_tpu.api.utils import get_configs
+        from empanada_tpu.api.utils import model_info_text
 
-        return str(get_configs()[model_name].get("description", "(no description)"))
+        return model_info_text(model_name)
 
     return widget
 

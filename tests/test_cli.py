@@ -53,6 +53,16 @@ def test_models_list(capsys):
     assert "MitoNet_v1" in out
 
 
+def test_models_info(capsys):
+    main(["models", "info", "--name", "MitoNet_v1"])
+    out = capsys.readouterr().out
+    assert "divisible by 128" in out
+    # MitoNet finetunes with SingleClassInstanceDataset -> no label divisor
+    assert "label divisor of None" in out
+    assert "Class 1 (mito) requires instance segmentation" in out
+    assert "start annotation at label 1" in out
+
+
 def test_infer2d(tmp_path, tiny_config_yaml):
     image = make_blob_image((96, 96), n_blobs=4)
     img_path = tmp_path / "img.npy"

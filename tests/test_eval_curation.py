@@ -167,6 +167,19 @@ class TestPatchesTiles:
         assert len(os.listdir(tmp_path / "ds" / "src" / "images")) == 3
         assert len(os.listdir(tmp_path / "ds" / "src" / "masks")) == 3
 
+    def test_patch_boxes_from_points(self):
+        # 2D point: corners TL,TR,BR,BL at +/- tile_width/2
+        (box,) = C.patch_boxes_from_points([(100, 200)], tile_width=64)
+        np.testing.assert_array_equal(
+            box, [[68, 168], [68, 232], [132, 232], [132, 168]]
+        )
+        # 3D point: leading coordinate carried onto every corner
+        (box3,) = C.patch_boxes_from_points([(7, 50, 60)], tile_width=20)
+        assert box3.shape == (4, 3)
+        assert (box3[:, 0] == 7).all()
+        np.testing.assert_array_equal(box3[0], [7, 40, 50])
+        np.testing.assert_array_equal(box3[2], [7, 60, 70])
+
     def test_flipbooks(self):
         vol = np.random.default_rng(0).integers(0, 255, (64, 64, 64), dtype=np.uint8)
         fbs = C.pick_flipbooks(vol, n_flipbooks=2, patch_size=32, isotropic=True)

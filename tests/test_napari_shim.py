@@ -11,7 +11,10 @@ import empanada_tpu.napari_plugin as shim
 from empanada_tpu.napari_plugin import widgets
 
 
-REFERENCE_COMMANDS = 23  # /root/reference/empanada_napari/napari.yaml:4-131
+# 23 active reference commands (/root/reference/empanada_napari/napari.yaml:
+# 4-131) + visualize-patches, which the reference ships but leaves commented
+# out of its manifest (_visualize_patches_from_points.py; napari.yaml:74-79)
+REFERENCE_COMMANDS = 24
 
 
 class TestManifest:
