@@ -442,7 +442,11 @@ def build_parser():
         sp.add_argument("--downsampling", type=int, default=1,
                         choices=[1, 2, 4, 8, 16, 32, 64],
                         help="inference scale (power of 2, as in the reference widget)")
-        sp.add_argument("--label-divisor", type=int, default=1000, dest="label_divisor")
+        # both reference widgets default "maximum objects per class" to
+        # 10000 (_slice_inference.py:42, _volume_inference.py:45); the
+        # library-level Engine default stays 1000 like the reference's
+        sp.add_argument("--label-divisor", type=int, default=10000,
+                        dest="label_divisor")
         sp.add_argument("--center-confidence", type=float, default=0.1, dest="center_confidence")
         sp.add_argument("--nms-kernel", type=int, default=3, dest="nms_kernel")
         sp.add_argument("--segment-confidence", type=float, default=0.3, dest="segment_confidence")
@@ -475,7 +479,9 @@ def build_parser():
     sp.add_argument("--batch-size", type=int, default=None, dest="batch_size")
     sp.add_argument("--median-slices", type=int, default=3, dest="median_slices")
     sp.add_argument("--min-size", type=int, default=500, dest="min_size")
-    sp.add_argument("--min-extent", type=int, default=4, dest="min_extent")
+    # GUI-surface default is 5 (reference _volume_inference.py:44); the
+    # library-level default stays 4 (reference inference.py:63)
+    sp.add_argument("--min-extent", type=int, default=5, dest="min_extent")
     sp.add_argument("--pixel-vote-thr", type=int, default=2, dest="pixel_vote_thr")
     sp.add_argument("--cluster-iou-thr", type=float, default=0.75, dest="cluster_iou_thr")
     sp.add_argument("--allow-one-view", action="store_true", dest="allow_one_view")

@@ -94,6 +94,7 @@ def slice_inference_widget():
         semantic_only: bool = False,
         tile_size: int = 0,
         spatial_shard: bool = False,
+        max_objects_per_class: int = 10000,
     ) -> "napari.types.LayerDataTuple":  # noqa: F821
         from empanada_tpu.api import Engine2d
         from empanada_tpu.api.utils import get_configs
@@ -109,6 +110,7 @@ def slice_inference_widget():
             semantic_only=semantic_only,
             tile_size=tile_size,
             spatial_shard=spatial_shard,
+            label_divisor=max_objects_per_class,
         )
         image = np.asarray(image_layer.data)
         if image.ndim == 3:
@@ -139,6 +141,7 @@ def volume_inference_widget():
         min_extent: int = 5,
         pixel_vote_thr: int = 2,
         allow_one_view: bool = False,
+        max_objects_per_class: int = 10000,
         checkpoint_dir: str = "",
         resume: bool = False,
     ) -> "List[napari.types.LayerDataTuple]":  # noqa: F821
@@ -155,6 +158,7 @@ def volume_inference_widget():
             median_kernel_size=median_slices,
             min_size=min_size,
             min_extent=min_extent,
+            label_divisor=max_objects_per_class,
         )
         ckpt_kw = {}
         if checkpoint_dir:
