@@ -44,17 +44,29 @@ import numpy as np
 
 BASELINE_CPU_TORCH_MVOX_S = 0.142  # measured on this host, see module docstring
 
-# Most recent SUCCESSFUL on-TPU measurements (update whenever bench re-runs
-# on hardware).  Emitted alongside the error JSON when the dev tunnel is
-# wedged at bench time, so a transient infra outage doesn't erase the
-# recorded perf state.  These are real measurements, not projections.
-LAST_MEASURED = {
-    "when": "2026-08-17",
-    "device": "TPU v5e (1 chip, dev tunnel)",
-    "value": 83.8, "unit": "Mvox/s/chip", "vs_baseline": 590.0, "mfu": 0.26,
-    "value_3d": 20.5,
-    "train_imgs_s": 1500.0,
-}
+
+def last_measured():
+    """Most recent SUCCESSFUL on-TPU measurement, read from the newest
+    committed BENCH_r*.json (the driver writes one per round).  Emitted
+    alongside the error JSON when the dev tunnel is wedged at bench time,
+    so a transient infra outage doesn't erase the recorded perf state."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            if parsed.get("value") is not None:
+                parsed["source"] = os.path.basename(path)
+                return parsed
+        except (OSError, ValueError):
+            continue
+    return None
+
+
 H = W = 512
 BATCH = 8
 WARMUP = 2
@@ -370,27 +382,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    # a wedged dev tunnel can hang backend init forever, and the block is
-    # inside PJRT C++ where SIGALRM handlers never run — probe in a
+    # a wedged dev tunnel can hang backend init forever — probe in a
     # kill-able subprocess so the driver gets a JSON line either way
-    def _probe_devices():
-        import subprocess
-        import sys
+    from empanada_tpu.utils import probe_device_count
 
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-                capture_output=True,
-                text=True,
-                timeout=600,
-            )
-            if proc.returncode == 0:
-                return int(proc.stdout.strip().splitlines()[-1])
-        except (subprocess.TimeoutExpired, ValueError, IndexError):
-            pass
-        return None
-
-    probe = _probe_devices()
+    probe = probe_device_count(timeout=600)
     if probe is None:
         print(json.dumps({
             "metric": "MitoNet_v1-arch 2D panoptic inference (fwd+postprocess, 512x512xB8, bf16)",
@@ -398,7 +394,7 @@ def main(argv=None):
             "unit": "Mvox/s/chip",
             "vs_baseline": None,
             "error": "device init timed out (degraded tunnel) — no measurement",
-            "last_measured": LAST_MEASURED,
+            "last_measured": last_measured(),
         }))
         return
 
@@ -432,7 +428,7 @@ def main(argv=None):
             "unit": "Mvox/s/chip",
             "vs_baseline": None,
             "error": "2D measurement timed out (degraded tunnel)",
-            "last_measured": LAST_MEASURED,
+            "last_measured": last_measured(),
         }))
         return
 

@@ -317,7 +317,10 @@ def cmd_models(args):
         from empanada_tpu.api.utils import model_info_text
 
         _require(args, "models info", name=args.name)
-        print(model_info_text(args.name))
+        try:
+            print(model_info_text(args.name))
+        except KeyError as e:
+            raise SystemExit(f"models info: {e.args[0]}")
     elif args.action == "export":
         _require(args, "models export", name=args.name, path=args.path)
         print(export_model(args.name, args.path, quantize=args.quantize))
@@ -566,7 +569,9 @@ def build_parser():
     sp.add_argument("labels", help="label map (.npy / tiff / zarr dir)")
     sp.add_argument("-o", "--out", default=None,
                     help="output (spreadsheet for count, label map for filters)")
-    sp.add_argument("--label-divisor", type=int, default=1000, dest="label_divisor")
+    # must match the infer2d/infer3d default (10000) so an all-default
+    # infer -> labels count pipeline decodes class/instance ids correctly
+    sp.add_argument("--label-divisor", type=int, default=10000, dest="label_divisor")
     sp.add_argument("--min-area", type=int, default=100, dest="min_area")
     sp.add_argument("--mode", default="image", choices=["image", "patches", "volume"])
     sp.set_defaults(func=cmd_labels)

@@ -448,9 +448,12 @@ def visualize_patches_widget():
     ) -> "napari.types.LayerDataTuple":  # noqa: F821
         from empanada_tpu.curation.patches import patch_boxes_from_points
 
-        points = _points(points_layer)
-        if points is None:
+        # raw float centers: the reference truncates only AFTER +/- half
+        # (so fractional centers keep sub-pixel box placement) and keeps
+        # float z/leading coords (_visualize_patches_from_points.py:44-76)
+        if points_layer is None or not len(points_layer.data):
             raise ValueError("No points in the points layer.")
+        points = np.asarray(points_layer.data, dtype=float)
         rects = patch_boxes_from_points(points, tile_width)
         return (rects, {"name": "Patches", "shape_type": "rectangle"}, "shapes")
 

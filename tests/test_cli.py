@@ -341,10 +341,12 @@ def test_infer2d_roi_out_of_bounds(tmp_path, tiny_config_yaml):
 
 
 def test_labels_count_and_filter(tmp_path, capsys):
+    # ids encoded with the default divisor (10000, matching infer2d/infer3d
+    # defaults so an all-default infer -> labels pipeline is consistent)
     seg = np.zeros((32, 32), np.int64)
-    seg[2:6, 2:6] = 1001        # 16 px instance
-    seg[10:12, 10:12] = 1002    # 4 px (small)
-    seg[0:3, 20:24] = 2001      # touches border, class 2
+    seg[2:6, 2:6] = 10001        # 16 px instance
+    seg[10:12, 10:12] = 10002    # 4 px (small)
+    seg[0:3, 20:24] = 20001      # touches border, class 2
     np.save(tmp_path / "seg.npy", seg)
 
     main(["labels", "count", str(tmp_path / "seg.npy"),
@@ -356,12 +358,20 @@ def test_labels_count_and_filter(tmp_path, capsys):
     main(["labels", "small", str(tmp_path / "seg.npy"),
           "-o", str(tmp_path / "filt.npy"), "--min-area", "8"])
     filt = np.load(tmp_path / "filt.npy")
-    assert 1002 not in filt and 1001 in filt
+    assert 10002 not in filt and 10001 in filt
 
     main(["labels", "boundary", str(tmp_path / "seg.npy"),
           "-o", str(tmp_path / "nb.npy")])
     nb = np.load(tmp_path / "nb.npy")
-    assert 2001 not in nb and 1001 in nb
+    assert 20001 not in nb and 10001 in nb
+
+    # non-default divisor still honored
+    seg2 = np.zeros((16, 16), np.int64)
+    seg2[2:6, 2:6] = 1001
+    np.save(tmp_path / "seg2.npy", seg2)
+    main(["labels", "count", str(tmp_path / "seg2.npy"),
+          "--label-divisor", "1000"])
+    assert "class 1: 1 labels" in capsys.readouterr().out
 
 
 def test_train_cli_multichip(tmp_path):
