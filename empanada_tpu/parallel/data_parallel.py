@@ -92,9 +92,17 @@ class MultiChipEngine3d:
 
         self.model = model
         self.mesh = mesh if mesh is not None else create_mesh()
-        n_dev = self.mesh.devices.size
-        self.batch_size = batch_size or n_dev
-        assert self.batch_size % n_dev == 0, "batch_size must divide the mesh"
+        n_dev = self.n_dev = self.mesh.devices.size
+        # batch_size=None -> auto: scaled per axis so each dispatch carries
+        # ~auto_batch_target_px pixels (small ortho slices batch wider; a
+        # fixed batch starves the device on 64x256 slices — 8x less work
+        # per step than a 512^2 sweep at the same batch)
+        self.batch_size = batch_size
+        if batch_size is not None:
+            assert batch_size % n_dev == 0, "batch_size must divide the mesh"
+        self.auto_batch_target_px = int(kwargs.pop("auto_batch_target_px",
+                                                   2 << 20))
+        self.auto_batch_max = int(kwargs.pop("auto_batch_max", 128))
 
         self.model_config = model_config
         self.labels = model_config["labels"]
@@ -232,10 +240,30 @@ class MultiChipEngine3d:
         # clamp to the row width: top_k(k) requires k <= axis size
         return min(max(32, width // 8), int(width))
 
-    def _batches(self, dataset: VolumeDataset):
+    def _resolve_batch(self, volume_shape, axis: int) -> int:
+        """Per-axis batch size: explicit if given, else scaled so one
+        dispatch carries ~auto_batch_target_px model-input pixels (padded,
+        after inference_scale downsampling), rounded to a mesh multiple and
+        capped by the axis length and auto_batch_max."""
+        if self.batch_size is not None:
+            return self.batch_size
+        dims = [s for i, s in enumerate(volume_shape) if i != axis]
+
+        def pad_up(d):
+            s = -(-d // self.inference_scale)   # ceil(d / scale)
+            return s + (-s) % self.padding_factor
+
+        area = max(1, pad_up(dims[0]) * pad_up(dims[1]))
+        b = max(1, round(self.auto_batch_target_px / area))
+        n_dev = self.n_dev
+        b = max(n_dev, b // n_dev * n_dev)          # mesh multiple, >= n_dev
+        n_slices = volume_shape[axis]
+        b = min(b, max(n_dev, -(-n_slices // n_dev) * n_dev))
+        return min(b, max(n_dev, self.auto_batch_max // n_dev * n_dev))
+
+    def _batches(self, dataset: VolumeDataset, b: int):
         """Yield (indices, images (B, H, W, 1) padded+stacked, size)."""
         n = len(dataset)
-        b = self.batch_size
         batch_imgs, batch_idx, size = [], [], None
         for item in dataset:
             img = item["image"]
@@ -308,7 +336,11 @@ class MultiChipEngine3d:
                 loaded_stack = fc.load()
         z_done = len(loaded_stack)
 
-        b = self.batch_size
+        # auto batch (batch_size=None) resolves deterministically from the
+        # volume shape, so checkpoint resume (meta records batch_size=None +
+        # volume_shape) replays the same batch boundaries
+        b = self._resolve_batch(volume.shape, axis)
+        self.last_batch_size = b
         mid = self.mid
         # context batches needed on each side of the current batch so every
         # window [i-mid, i+mid] is covered
@@ -376,7 +408,7 @@ class MultiChipEngine3d:
         # (empanada_napari/inference.py:526-543); this is the batched analog.
         n_batches = -(-n_slices // b)
 
-        batch_gen = self._batches(dataset)
+        batch_gen = self._batches(dataset, b)
         sem_buf: dict = {}    # batch index -> device sem (B, H, W, C)
         io_buf: dict = {}     # batch index -> (ctr, off)
         fwd_done = feed_batch - 1
@@ -386,14 +418,15 @@ class MultiChipEngine3d:
         def ensure_forwarded(upto: int):
             nonlocal fwd_done, size
             while fwd_done < min(upto, n_batches - 1):
-                _, images, size = next(batch_gen)
-                if not dev_norm:
-                    images = images.astype(np.float32)
-                images = jax.device_put(jnp.asarray(images), self._shard)
-                sem, ctr, off = self._forward(
-                    self.variables, images, jnp.float32(max_value),
-                    render_steps=render_steps, normalize=dev_norm,
-                )
+                with timer.stage("host_prep+upload_dispatch"):
+                    _, images, size = next(batch_gen)
+                    if not dev_norm:
+                        images = images.astype(np.float32)
+                    images = jax.device_put(jnp.asarray(images), self._shard)
+                    sem, ctr, off = self._forward(
+                        self.variables, images, jnp.float32(max_value),
+                        render_steps=render_steps, normalize=dev_norm,
+                    )
                 fwd_done += 1
                 sem_buf[fwd_done] = sem
                 if fwd_done >= j0:
@@ -411,20 +444,24 @@ class MultiChipEngine3d:
             if packed is not None:
                 # one small packed fetch per batch; dense (already cropped
                 # in-jit) only on overflow
-                packed_np = np.asarray(packed)[:n_keep]
+                with timer.stage("fetch"):
+                    packed_np = np.asarray(packed)[:n_keep]
                 pans_np = None
-                for bi, row_buf in enumerate(packed_np):
-                    decoded = decode_runs_packed(row_buf, w)
-                    if decoded is None:
-                        if pans_np is None:
-                            pans_np = np.asarray(pans_dev)[:n_keep]
-                        put(pans_np[bi].astype(np.int64))
-                    else:
-                        put(("runs", decoded, w))
+                with timer.stage("host_decode+enqueue"):
+                    for bi, row_buf in enumerate(packed_np):
+                        decoded = decode_runs_packed(row_buf, w)
+                        if decoded is None:
+                            if pans_np is None:
+                                pans_np = np.asarray(pans_dev)[:n_keep]
+                            put(pans_np[bi].astype(np.int64))
+                        else:
+                            put(("runs", decoded, w))
             else:
-                pans = np.asarray(pans_dev)[:n_keep, :h, :w]
-                for pan in pans:
-                    put(pan.astype(np.int64))
+                with timer.stage("fetch"):
+                    pans = np.asarray(pans_dev)[:n_keep, :h, :w]
+                with timer.stage("host_decode+enqueue"):
+                    for pan in pans:
+                        put(pan.astype(np.int64))
 
         pending = None
         overflow_dev = None
@@ -460,12 +497,13 @@ class MultiChipEngine3d:
             h, w = size
             if max_runs is None:
                 max_runs = self._max_runs(w)
-            pans_dev, packed, n_over = self._post_batch(
-                ctx, ctr, off,
-                jnp.asarray(win_local), jnp.asarray(use_median),
-                upsampling=self.inference_scale,
-                crop=(h, w), max_runs=max_runs,
-            )
+            with timer.stage("post_dispatch"):
+                pans_dev, packed, n_over = self._post_batch(
+                    ctx, ctr, off,
+                    jnp.asarray(win_local), jnp.asarray(use_median),
+                    upsampling=self.inference_scale,
+                    crop=(h, w), max_runs=max_runs,
+                )
             # device-side max accumulation (no fetch on the dispatch path)
             overflow_dev = (
                 n_over if overflow_dev is None
@@ -495,12 +533,16 @@ class MultiChipEngine3d:
         if pending is not None:
             drain(pending)
         rle_stack = loaded_stack + worker.finish()
+        timer.add("matcher_busy", worker.stats["busy_s"])
         bar.close()
-        if overflow_dev is not None and int(overflow_dev):
+        # max NMS centers dropped on any slice (0 = overflow-free run) —
+        # benches and callers can fail/flag on this instead of scraping stderr
+        self.last_overflow = int(overflow_dev) if overflow_dev is not None else 0
+        if self.last_overflow:
             import sys
 
             print(
-                f"warning: axis {axis_name}: up to {int(overflow_dev)} NMS "
+                f"warning: axis {axis_name}: up to {self.last_overflow} NMS "
                 f"centers per slice exceeded max_centers={self.max_centers} "
                 "and were dropped (instances merged into nearest neighbors) "
                 "— rerun with a larger max_centers",
@@ -536,10 +578,12 @@ class MultiChipEngine3d:
 
     def infer_orthoplane(self, volume, checkpoint_dir=None,
                          checkpoint_every: int = 64, resume: bool = False,
-                         progress: bool = False):
+                         progress: bool = False, timer=None):
         """Same per-axis resume contract as Engine3d.infer_orthoplane:
         completed axes persist finished trackers and are skipped on
-        resume; a partial axis continues from its forward checkpoint."""
+        resume; a partial axis continues from its forward checkpoint.
+        ``timer`` (optional StageTimer) accumulates stages across all three
+        sweeps; ``last_overflow`` reports the max across axes."""
         import os
 
         from empanada_tpu.stitch import checkpoint as ckpt
@@ -552,6 +596,7 @@ class MultiChipEngine3d:
             ]
 
         trackers = {}
+        max_overflow = 0
         for axis_name in self.axes:
             loaded = None
             if checkpoint_dir is not None:
@@ -567,11 +612,13 @@ class MultiChipEngine3d:
             _, axis_trackers = self.infer_on_axis(
                 volume, axis_name, checkpoint_dir=checkpoint_dir,
                 checkpoint_every=checkpoint_every, resume=resume,
-                progress=progress,
+                progress=progress, timer=timer,
             )
+            max_overflow = max(max_overflow, self.last_overflow)
             if checkpoint_dir is not None:
                 ckpt.save_axis_trackers(
                     checkpoint_dir, axis_name, axis_trackers, meta
                 )
             trackers[axis_name] = axis_trackers
+        self.last_overflow = max_overflow
         return trackers

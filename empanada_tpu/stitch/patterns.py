@@ -75,7 +75,7 @@ def apply_matchers(rle_seg: dict, matchers) -> dict:
 
 
 def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
-                     thing_list, force_connected: bool = True):
+                     thing_list, force_connected: bool = True, stats=None):
     """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
 
     Accepts numpy pan_segs from ``in_queue``; ``None`` items are skipped
@@ -83,13 +83,20 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
     device-compacted slice arrives as ``("runs", (values, rows, cs, ce),
     width)`` (see ops.postprocess.encode_runs_packed) and skips the dense
     extract_runs pass.
+
+    ``stats`` (optional dict) accumulates ``busy_s``: seconds spent
+    processing items, excluding queue waits — the true host-matcher cost
+    even when this loop runs concurrently with device compute.
     """
+    import time
+
     while True:
         pan_seg = in_queue.get()
         if pan_seg is None:
             continue
         if isinstance(pan_seg, str):
             break
+        t0 = time.perf_counter()
         if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
             _, (values, rows, cs, ce), width = pan_seg
             rle_seg = runs_to_rle_seg(
@@ -103,6 +110,8 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
             )
         rle_seg = apply_matchers(rle_seg, matchers)
         rle_stack.append(rle_seg)
+        if stats is not None:
+            stats["busy_s"] = stats.get("busy_s", 0.0) + time.perf_counter() - t0
     return rle_stack
 
 
@@ -119,6 +128,7 @@ class MatcherWorker:
         self.queue = queue.Queue(maxsize=maxsize)
         self.rle_stack = []
         self.error = None
+        self.stats = {"busy_s": 0.0}  # host-matcher busy time (excl. waits)
         self._thread = threading.Thread(target=self._run, args=(
             matchers, labels, label_divisor, thing_list, force_connected),
             daemon=True)
@@ -128,7 +138,7 @@ class MatcherWorker:
         try:
             forward_matching(
                 matchers, self.queue, self.rle_stack, labels, label_divisor,
-                thing_list, force_connected,
+                thing_list, force_connected, stats=self.stats,
             )
         except BaseException as exc:  # noqa: BLE001 — re-raised in finish()
             self.error = exc

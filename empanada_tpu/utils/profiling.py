@@ -66,6 +66,12 @@ class StageTimer:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
+    def add(self, name: str, seconds: float):
+        """Record externally-measured time (e.g. a worker thread's busy
+        accumulator) under a stage name."""
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
     def report(self) -> dict:
         return {
             name: {

@@ -98,7 +98,7 @@ class TestStreamedEquivalence:
         )
         _, trackers = eng.infer_on_axis(vol, "xy")
 
-        b = eng.batch_size
+        b = eng.last_batch_size
         mid = eng.mid
         K = -(-mid // b)
         assert eng._max_resident <= 2 * K + 2, eng._max_resident
