@@ -417,12 +417,18 @@ class MultiChipEngine3d:
 
         def ensure_forwarded(upto: int):
             nonlocal fwd_done, size
+            # stages split so a sync-mode StageTimer pass attributes the
+            # pipeline cleanly: host_prep (pure host), upload (host->device
+            # transfer), forward_dispatch (device forward compute when
+            # synced; ~0 under normal async operation)
             while fwd_done < min(upto, n_batches - 1):
-                with timer.stage("host_prep+upload_dispatch"):
+                with timer.stage("host_prep"):
                     _, images, size = next(batch_gen)
                     if not dev_norm:
                         images = images.astype(np.float32)
+                with timer.stage("upload"):
                     images = jax.device_put(jnp.asarray(images), self._shard)
+                with timer.stage("forward_dispatch"):
                     sem, ctr, off = self._forward(
                         self.variables, images, jnp.float32(max_value),
                         render_steps=render_steps, normalize=dev_norm,
