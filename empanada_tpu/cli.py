@@ -376,14 +376,21 @@ def cmd_tiles(args):
 def cmd_port(args):
     """Convert a reference torch checkpoint to a flax model bundle."""
     from empanada_tpu.api import save_model_bundle
-    from empanada_tpu.port import load_torch_checkpoint, port_state_dict
+    from empanada_tpu.port import (
+        infer_arch_and_kwargs,
+        load_torch_checkpoint,
+        port_state_dict,
+    )
 
     config = _model_config(args.model) if args.model else None
     arch = args.arch or (config and config.get("arch"))
     kwargs = (config or {}).get("model_kwargs", {})
-    if arch is None:
-        raise SystemExit("provide --arch or --model with an arch field")
     state_dict, ckpt_arch = load_torch_checkpoint(args.checkpoint)
+    if arch is None:
+        # published artifacts (TorchScript archives) carry no arch metadata;
+        # recover arch + kwargs from the weights themselves
+        arch, kwargs = infer_arch_and_kwargs(state_dict)
+        print(f"inferred arch={arch} kwargs={kwargs}")
     variables = port_state_dict(state_dict, arch, kwargs)
     out = save_model_bundle(args.output, arch, kwargs, variables,
                             quantize=args.quantize)

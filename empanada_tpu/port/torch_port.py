@@ -21,7 +21,7 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["port_state_dict", "load_torch_checkpoint"]
+__all__ = ["port_state_dict", "load_torch_checkpoint", "infer_arch_and_kwargs"]
 
 
 def _np(t):
@@ -199,6 +199,144 @@ def _port_point_rend(b: _TreeBuilder, torch_prefix, flax_prefix, num_fc=3):
     b.dense1d(f"{torch_prefix}.point_head.predictor", flax_prefix, "point_head", "predictor")
 
 
+def _normalize_state_dict(state_dict: Dict) -> Dict:
+    """Strip DataParallel / quantization wrappers from reference key names."""
+    return {
+        re.sub(r"^(module\.)", "", k): v for k, v in state_dict.items()
+        if not k.endswith(("num_batches_tracked",))
+        and ".activation_post_process" not in k and not k.startswith(("quant.", "dequant."))
+    }
+
+
+def _infer_encoder(sd: Dict, keys: set) -> str:
+    """Identify the encoder config purely from weight names/shapes."""
+    if "encoder.conv1.weight" in keys:
+        from empanada_tpu.models.resnet import resnet_configs
+
+        block = "bottleneck" if "encoder.layer1.0.conv3.weight" in keys else "basic"
+        layers = []
+        for k in range(1, 5):
+            n = 0
+            while f"encoder.layer{k}.{n}.conv1.weight" in keys:
+                n += 1
+            layers.append(n)
+        layers = tuple(layers)
+        hits = [n for n, cfg in resnet_configs.items()
+                if cfg["block"] == block and tuple(cfg["layers"]) == layers]
+        if len(hits) > 1 and block == "bottleneck":
+            # same depth, different width/groups (resnet50 vs resnext50 vs
+            # wide_resnet50): the first block's conv widths disambiguate
+            width = int(sd["encoder.layer1.0.conv1.weight"].shape[0])
+            conv2_in = int(sd["encoder.layer1.0.conv2.weight"].shape[1])
+
+            def _expected(cfg):
+                groups = cfg.get("groups", 1)
+                wpg = cfg.get("width_per_group", 64)
+                w = int(64 * wpg / 64) * groups
+                return w, w // groups
+
+            hits = [n for n in hits if _expected(resnet_configs[n]) == (width, conv2_in)]
+        if len(hits) != 1:
+            raise ValueError(f"cannot identify resnet encoder (block={block}, layers={layers})")
+        return hits[0]
+
+    if "encoder.stem.cbr.0.weight" in keys:
+        from empanada_tpu.models.regnet import RegNetParams, regnet_configs
+
+        depths, widths = [], []
+        for k in range(1, 5):
+            n = 0
+            while f"encoder.stage{k}.block{n + 1}.bottleneck.a.0.weight" in keys:
+                n += 1
+            depths.append(n)
+            widths.append(int(sd[f"encoder.stage{k}.block1.bottleneck.c.0.weight"].shape[0]))
+        use_se = any(".se." in k for k in keys)
+        for name, cfg in regnet_configs.items():
+            p = RegNetParams(**cfg)
+            if (list(p.depths), [int(w) for w in p.widths], bool(p.use_se)) == (
+                    depths, widths, use_se):
+                return name
+        raise ValueError(f"cannot identify regnet encoder (depths={depths}, widths={widths})")
+
+    raise ValueError("state dict has neither a resnet nor a regnet encoder")
+
+
+def infer_arch_and_kwargs(state_dict: Dict) -> tuple:
+    """Recover ``(arch, model_kwargs)`` from a reference torch state dict.
+
+    Published artifacts carry no architecture metadata: the reference ships
+    whole TorchScript programs (``empanada_napari/utils.py:80-106``) and its
+    ``.empanada`` bundles zip a registry yaml + ``.pth`` with no arch field
+    (``_export_import_models.py:66-88``), so importing them here requires
+    reconstructing the flax model from the weights alone.  Everything
+    shape-visible is inferred; knobs that leave no trace in the weights
+    (atrous rate *values*, ``stage4_stride``, dropout, PointRend runtime
+    subdivision settings) get the reference defaults shared by every
+    published model (``empanada/models/panoptic_deeplab.py:21-35``).
+    """
+    sd = _normalize_state_dict(state_dict)
+    keys = set(sd)
+
+    def has(prefix):
+        return any(k.startswith(prefix) for k in keys)
+
+    encoder = _infer_encoder(sd, keys)
+    kw: dict = {
+        "encoder": encoder,
+        "num_classes": int(sd["semantic_head.head.1.weight"].shape[0]),
+    }
+
+    if has("semantic_fpn."):
+        arch = "PanopticBiFPNPR" if has("semantic_pr.") else "PanopticBiFPN"
+        kw["fpn_dim"] = int(sd["p2_resample.conv.0.weight"].shape[0])
+        n = 0
+        while f"semantic_fpn.bifpns.{n}.top_down_fpn.weights" in keys:
+            n += 1
+        kw["fpn_layers"] = n
+        kw["ins_decoder"] = has("instance_fpn.")
+    else:
+        if has("boundary_head."):
+            arch = "PanopticDeepLabBC"
+        elif has("semantic_pr."):
+            arch = "PanopticDeepLabPR"
+        else:
+            arch = "PanopticDeepLab"
+        from empanada_tpu.models.resnet import RESNET_WIDTHS
+
+        enc_widths = list(RESNET_WIDTHS[encoder])
+        kw["decoder_channels"] = int(sd["semantic_decoder.fuse.0.0.sepconv.1.weight"].shape[0])
+        aspp_ch = int(sd["semantic_decoder.aspp.project.0.weight"].shape[0])
+        kw["aspp_channels"] = None if aspp_ch == kw["decoder_channels"] else aspp_ch
+        n_rates = 0
+        while f"semantic_decoder.aspp.convs.{n_rates + 1}.0.weight" in keys:
+            n_rates += 1
+        # rate *values* are dilation attributes, invisible in weight shapes;
+        # all published models use the (2, 4, 6) default
+        kw["atrous_rates"] = [2, 4, 6][:n_rates] if n_rates <= 3 else [
+            2 * (i + 1) for i in range(n_rates)]
+        stages, proj = [], []
+        i = 0
+        while f"semantic_decoder.project.{i}.0.weight" in keys:
+            w = sd[f"semantic_decoder.project.{i}.0.weight"]
+            stages.append(enc_widths.index(int(w.shape[1])) + 1)
+            proj.append(int(w.shape[0]))
+            i += 1
+        kw["low_level_stages"] = stages
+        kw["low_level_channels_project"] = proj
+        kw["ins_decoder"] = has("instance_decoder.")
+        if kw["ins_decoder"]:
+            ins_proj = int(sd["instance_decoder.project.0.0.weight"].shape[0])
+            kw["ins_ratio"] = round(ins_proj / proj[0], 4)
+
+    if has("semantic_pr."):
+        n_fc = 0
+        while f"semantic_pr.point_head.fc_layers.{n_fc}.0.weight" in keys:
+            n_fc += 1
+        kw["num_fc"] = n_fc
+
+    return arch, kw
+
+
 def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
     """Port a reference torch state dict to flax variables for ``arch``.
 
@@ -208,12 +346,7 @@ def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
     """
     from empanada_tpu.models.resnet import resnet_configs
 
-    # strip DataParallel / quantization wrappers
-    state_dict = {
-        re.sub(r"^(module\.)", "", k): v for k, v in state_dict.items()
-        if not k.endswith(("num_batches_tracked",))
-        and ".activation_post_process" not in k and not k.startswith(("quant.", "dequant."))
-    }
+    state_dict = _normalize_state_dict(state_dict)
 
     b = _TreeBuilder(state_dict)
     encoder = model_kwargs.get("encoder", "resnet50")
@@ -271,11 +404,20 @@ def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
 
 
 def load_torch_checkpoint(path: str):
-    """Load a torch checkpoint file's state dict (handles the reference's
-    {arch, state_dict, norms} training checkpoints and raw state dicts)."""
+    """Load a torch checkpoint file's state dict.
+
+    Handles all three formats a reference checkpoint arrives in:
+    TorchScript archives (``torch.jit.save`` — the published Zenodo artifact
+    format, loaded by the reference with ``torch.jit.load``,
+    ``empanada_napari/utils.py:80-106``), the reference's
+    ``{state_dict, norms, ...}`` training checkpoints, and raw state dicts.
+    """
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.jit.load(path, map_location="cpu")
+    except RuntimeError:
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(blob, "state_dict"):
         return blob.state_dict(), getattr(blob, "arch", None)
     if isinstance(blob, dict) and "state_dict" in blob:

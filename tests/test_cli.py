@@ -56,7 +56,7 @@ def test_models_list(capsys):
 def test_models_info(capsys):
     main(["models", "info", "--name", "MitoNet_v1"])
     out = capsys.readouterr().out
-    assert "divisible by 128" in out
+    assert "divisible by 16" in out  # reference MitoNet_v1.yaml padding_factor
     # MitoNet finetunes with SingleClassInstanceDataset -> no label divisor
     assert "label divisor of None" in out
     assert "Class 1 (mito) requires instance segmentation" in out

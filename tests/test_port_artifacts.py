@@ -1,0 +1,246 @@
+"""Published-artifact acceptance: the exact formats a real user's model
+arrives in.
+
+The reference distributes models two ways and neither carries architecture
+metadata a config loader could rebuild from:
+
+- TorchScript archives (``torch.jit.save``) on Zenodo, loaded with
+  ``torch.jit.load`` (/root/reference/empanada_napari/utils.py:80-106);
+- ``.empanada`` zips = registry yaml + ``.pth``
+  (/root/reference/empanada_napari/_export_import_models.py:66-88).
+
+These tests build the reference's own deployable model
+(QuantizablePanopticDeepLabPR, the class the Zenodo artifacts were scripted
+from), save it in both formats, and drive ``cli port`` / ``models import`` /
+``infer2d`` end-to-end, asserting the archive route produces bit-identical
+ported weights and panoptic output to the state-dict route."""
+
+import os
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+import yaml
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+if not os.path.isdir(os.path.join(REFERENCE, "empanada")):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+_HERE = os.path.dirname(__file__)
+for p in (os.path.join(_HERE, "_ref_shims"), REFERENCE, _HERE):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import jax  # noqa: E402
+
+from conftest import make_blob_image  # noqa: E402
+
+from empanada_tpu.cli import main  # noqa: E402
+from empanada_tpu.port import (  # noqa: E402
+    infer_arch_and_kwargs,
+    load_torch_checkpoint,
+    port_state_dict,
+)
+
+from empanada.models.quantization import (  # noqa: E402
+    QuantizablePanopticDeepLabPR as TorchPR,
+)
+
+# small but structurally faithful MitoNet-style config (same fields as
+# configs/MitoNet_v1.yaml, shrunk for test speed)
+MODEL_KW = dict(
+    encoder="resnet50",
+    num_classes=1,
+    stage4_stride=16,
+    decoder_channels=32,
+    low_level_stages=[1],
+    low_level_channels_project=[16],
+    atrous_rates=[2, 4, 6],
+    aspp_dropout=0.0,
+    ins_decoder=True,
+    ins_ratio=0.5,
+    num_fc=3,
+    train_num_points=64,
+    oversample_ratio=3,
+    importance_sample_ratio=0.75,
+    subdivision_steps=2,
+    subdivision_num_points=256,
+)
+# fields recoverable from weight shapes/names alone (the rest are runtime
+# knobs with reference defaults)
+SHAPE_VISIBLE = (
+    "encoder", "num_classes", "decoder_channels", "low_level_stages",
+    "low_level_channels_project", "atrous_rates", "ins_decoder",
+    "ins_ratio", "num_fc",
+)
+
+
+@pytest.fixture(scope="module")
+def tmodel():
+    torch.manual_seed(7)
+    m = TorchPR(**MODEL_KW, quantize=False).eval()
+    # sharpen BN stats so random-init outputs vary spatially (same trick as
+    # tests/test_e2e_cross_parity.py — keeps the infer2d comparison non-vacuous)
+    g = torch.Generator().manual_seed(3)
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.copy_(torch.randn(mod.running_mean.shape, generator=g))
+            mod.running_var.copy_(torch.rand(mod.running_var.shape, generator=g) * 0.45 + 0.05)
+    with torch.no_grad():
+        for p in m.semantic_head.parameters():
+            p.mul_(8.0)
+    return m
+
+
+@pytest.fixture(scope="module")
+def ts_archive(tmodel, tmp_path_factory):
+    """The Zenodo artifact format: torch.jit.script + torch.jit.save."""
+    d = tmp_path_factory.mktemp("zenodo")
+    path = str(d / "MitoTiny.pth")
+    torch.jit.save(torch.jit.script(tmodel), path)
+    return path
+
+
+def _model_yaml(tmp_path, bundle, name="ts_ported"):
+    cfg = {
+        "class_names": {1: "mito"},
+        "labels": [1],
+        "thing_list": [1],
+        "model": bundle,
+        "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.29},
+    }
+    path = tmp_path / f"{name}.yaml"
+    path.write_text(yaml.dump(cfg))
+    return str(path)
+
+
+def _infer2d(tmp_path, config_yaml, tag):
+    image = make_blob_image((96, 96), n_blobs=5, seed=11)
+    img_path = tmp_path / f"img_{tag}.npy"
+    np.save(img_path, image)
+    out_path = tmp_path / f"pan_{tag}.npy"
+    main(["infer2d", str(img_path), "-o", str(out_path),
+          "--model", config_yaml])
+    return np.load(out_path)
+
+
+def test_infer_arch_and_kwargs(tmodel):
+    arch, kw = infer_arch_and_kwargs(tmodel.state_dict())
+    assert arch == "PanopticDeepLabPR"
+    for field in SHAPE_VISIBLE:
+        assert kw[field] == MODEL_KW[field], field
+    assert kw["aspp_channels"] is None  # defaulted to decoder_channels
+
+
+def test_infer_arch_plain_pdl():
+    """Arch detection on the non-PR, multi-stage default decoder."""
+    from empanada.models import PanopticDeepLab as TorchPDL
+
+    torch.manual_seed(1)
+    m = TorchPDL(encoder="resnet18", num_classes=3, stage4_stride=32,
+                 decoder_channels=64,
+                 low_level_stages=[3, 2, 1],
+                 low_level_channels_project=[32, 16, 8],
+                 atrous_rates=[2, 4, 6], ins_decoder=False).eval()
+    arch, kw = infer_arch_and_kwargs(m.state_dict())
+    assert arch == "PanopticDeepLab"
+    assert kw["encoder"] == "resnet18"
+    assert kw["num_classes"] == 3
+    assert kw["low_level_stages"] == [3, 2, 1]
+    assert kw["low_level_channels_project"] == [32, 16, 8]
+    assert kw["ins_decoder"] is False
+
+
+def test_torchscript_archive_loads(ts_archive, tmodel):
+    """load_torch_checkpoint reads the torch.jit.save zip and returns the
+    same tensors as the live module's state dict."""
+    sd, _ = load_torch_checkpoint(ts_archive)
+    ref = tmodel.state_dict()
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    ref = {k: v for k, v in ref.items() if not k.endswith("num_batches_tracked")}
+    assert set(sd) == set(ref)
+    for k in ref:
+        assert torch.equal(sd[k], ref[k]), k
+
+
+def test_archive_port_register_infer(ts_archive, tmodel, tmp_path, capsys):
+    """The full user journey for a downloaded Zenodo artifact:
+    ``cli port`` (arch inferred from weights) -> registry yaml -> ``infer2d``,
+    with output identical to porting the state dict directly."""
+    from empanada_tpu.api.utils import load_model_bundle
+
+    out_a = str(tmp_path / "from_archive")
+    main(["port", ts_archive, "-o", out_a])
+    assert "inferred arch=PanopticDeepLabPR" in capsys.readouterr().out
+
+    # ported trees must match the direct state-dict port exactly
+    _, var_a = load_model_bundle(out_a + ".eptpu")
+    fkw = {k: v for k, v in MODEL_KW.items() if k != "subdivision_steps"}
+    var_b = port_state_dict(tmodel.state_dict(), "PanopticDeepLabPR", fkw)
+    flat_a = jax.tree_util.tree_leaves_with_path(var_a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(var_b))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+    pan_a = _infer2d(tmp_path, _model_yaml(tmp_path, out_a + ".eptpu", "a"), "a")
+    assert (pan_a > 0).any()
+
+
+def test_empanada_zip_import_and_infer(ts_archive, tmodel, tmp_path, monkeypatch):
+    """Reference ``.empanada`` zip (yaml with no arch field + TorchScript
+    .pth) -> ``models import`` -> registered flax bundle -> ``infer2d``;
+    output equals the direct archive-port route bit for bit."""
+    import empanada_tpu.api.export as E
+    import empanada_tpu.api.utils as U
+
+    home = str(tmp_path / "home")
+    monkeypatch.setattr(U, "MODEL_DIR", home)
+    monkeypatch.setattr(E, "MODEL_DIR", home)
+
+    # build the reference's export format: yaml (no arch) + model .pth
+    cfg = {
+        "class_names": {1: "mito"},
+        "labels": [1],
+        "thing_list": [1],
+        "model": "MitoTiny.pth",
+        "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.29},
+    }
+    yml = tmp_path / "MitoTiny.yaml"
+    yml.write_text(yaml.dump(cfg))
+    zpath = tmp_path / "MitoTiny.empanada"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(yml, "MitoTiny.yaml")
+        zf.write(ts_archive, "MitoTiny.pth")
+
+    main(["models", "import", "--path", str(zpath), "--name", "ImportedTiny"])
+
+    from empanada_tpu.api import get_configs, read_yaml
+
+    configs = get_configs()
+    assert "ImportedTiny" in configs
+    reg = read_yaml(configs["ImportedTiny"])
+    assert reg["arch"] == "PanopticDeepLabPR"
+    assert reg["model_kwargs"]["encoder"] == "resnet50"
+    assert reg["model"].endswith(".eptpu") and os.path.isfile(reg["model"])
+    # no stray torch weights left in the store
+    assert not [f for f in os.listdir(os.path.join(home, "models"))
+                if f.endswith(".pth")]
+
+    pan_imp = _infer2d(tmp_path, configs["ImportedTiny"], "imp")
+
+    # must equal the direct state-dict port route exactly (same recovered
+    # kwargs on both sides so runtime knobs like subdivision_num_points match)
+    from empanada_tpu.api import save_model_bundle
+
+    arch_i, kw_i = infer_arch_and_kwargs(tmodel.state_dict())
+    var = port_state_dict(tmodel.state_dict(), arch_i, kw_i)
+    bundle = save_model_bundle(str(tmp_path / "direct"), arch_i, kw_i, var)
+    pan_direct = _infer2d(tmp_path, _model_yaml(tmp_path, bundle, "direct"), "direct")
+    np.testing.assert_array_equal(pan_imp, pan_direct)
