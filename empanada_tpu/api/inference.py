@@ -274,6 +274,7 @@ class Engine2d:
             max_centers=max_centers,
             shape_buckets=shape_buckets,
         )
+        self.last_overflow = 0
         self.preprocessor = Preprocessor(**model_config["norms"])
 
     def update_params(
@@ -327,6 +328,7 @@ class Engine2d:
 
     def _warn_overflow(self):
         dropped = self.engine.dropped_centers()
+        self.last_overflow = dropped  # inspectable by tests/benches
         if dropped:
             import sys
 
@@ -472,6 +474,7 @@ class Engine3d:
             max_centers=max_centers,
             shape_buckets=shape_buckets,
         )
+        self.last_overflow = 0
         self.preprocessor = Preprocessor(**model_config["norms"])
 
         self.axes = {"xy": 0, "xz": 1, "yz": 2}
@@ -622,6 +625,7 @@ class Engine3d:
         bar.close()
 
         dropped = self.engine.dropped_centers()
+        self.last_overflow = dropped  # inspectable by tests/benches
         if dropped:
             import sys
 

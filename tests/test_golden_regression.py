@@ -163,3 +163,105 @@ class TestMulticlassGoldenRegression:
         mito_vol, mito_inst = outs["mito"]
         assert len(mito_inst) == 0
         assert int((np.asarray(mito_vol) > 0).sum()) == 0
+
+
+EM_DENSITY_GOLDEN = {
+    # recorded on CPU jax (round 3): 512²x6 fixture, ~215 instances/slice
+    # (138 tracked 3D instances after matching + min_size) — the regime that
+    # stresses max_centers sizing, the sparse matcher decomposition, and
+    # run-based CC at the reference goldens' density
+    # (/root/reference/tests/conftest.py:69-122 uses ~150k labeled px; this
+    # fixture tracks ~1.5M)
+    "stack_instances": 138,
+    "stack_nonzero": 1485622,
+    # histogram of log10(instance size) in 10 bins over [1, 6]
+    "log_size_hist": [0, 2, 0, 6, 37, 29, 59, 5, 0, 0],
+}
+
+
+@pytest.mark.slow
+class TestEMDensityGolden:
+    """Torch-free EM-density regression: deterministic flax weights (BN
+    stats sharpened, head predict convs rescaled to sane output ranges)
+    over a 512²x6 blob volume, instance count / labeled mass / log-size
+    spectrum pinned.  Catches regressions in the 2048-center NMS path,
+    _sparse_assignment, and consensus-scale matching without needing the
+    torch cross-framework gates (tests/test_em_density.py)."""
+
+    @pytest.fixture(scope="class")
+    def dense_setup(self):
+        import copy
+
+        model = create_model(
+            "PanopticDeepLabPR", encoder="resnet18", num_classes=1,
+            decoder_channels=32, low_level_channels_project=(16, 8, 4),
+            subdivision_num_points=256,
+        )
+        variables = jax.device_get(
+            jax.jit(model.init, static_argnames=("train",))(
+                {"params": jax.random.key(1234)}, jnp.zeros((1, 64, 64, 1)),
+                train=False,
+            )
+        )
+        variables = copy.deepcopy(variables)
+        rng = np.random.default_rng(3)
+
+        def sharpen(tree):
+            for k, t in tree.items():
+                if isinstance(t, dict):
+                    sharpen(t)
+                elif k == "mean":
+                    tree[k] = rng.normal(size=t.shape).astype(np.float32)
+                elif k == "var":
+                    tree[k] = rng.uniform(0.05, 0.5, size=t.shape).astype(np.float32)
+
+        sharpen(variables["batch_stats"])
+
+        def scale(tree, m):
+            for k, t in list(tree.items()):
+                if isinstance(t, dict):
+                    scale(t, m)
+                else:
+                    tree[k] = (t * m).astype(np.float32)
+
+        # sharpened BN stats blow features up to ~1e4; rescale only the
+        # head predict convs so sem/ctr/offset outputs land in ranges where
+        # thresholds and pixel grouping operate (offsets std ~14 px)
+        scale(variables["params"]["semantic_head"]["predict"], 5e-5)
+        scale(variables["params"]["ins_center"]["predict"], 3e-5)
+        scale(variables["params"]["ins_xy"]["predict"], 2e-4)
+        scale(variables["params"]["semantic_pr"]["point_head"]["predictor"], 5e-5)
+        variables = jax.tree.map(jnp.asarray, variables)
+
+        cfg = {
+            "class_names": {1: "mito"}, "labels": [1], "thing_list": [1],
+            "model": "x", "padding_factor": 16,
+            "norms": {"mean": 0.5, "std": 0.29},
+        }
+        vol = np.stack(
+            [make_blob_image((512, 512), n_blobs=150, seed=200 + s) for s in range(6)]
+        )
+        return model, variables, cfg, vol
+
+    def test_dense_stack(self, dense_setup):
+        model, variables, cfg, vol = dense_setup
+        eng = api.Engine3d(
+            cfg, median_kernel_size=3, min_size=20, min_extent=1,
+            max_centers=2048, nms_kernel=3, nms_threshold=0.1,
+            confidence_thr=0.3, model_and_variables=(model, variables),
+            save_panoptic=True,
+        )
+        stack, trackers = eng.infer_on_axis(vol, "xy")
+        stack = np.asarray(stack)
+        assert eng.last_overflow == 0, eng.last_overflow
+        assert _close(
+            len(trackers[0].instances), EM_DENSITY_GOLDEN["stack_instances"], 0.05
+        ), len(trackers[0].instances)
+        assert _close(int((stack > 0).sum()), EM_DENSITY_GOLDEN["stack_nonzero"])
+        sizes = np.bincount(stack[stack > 0])
+        sizes = sizes[sizes > 0]
+        hist = np.histogram(np.log10(sizes), bins=10, range=(1, 6))[0]
+        for i, (got, want) in enumerate(zip(hist, EM_DENSITY_GOLDEN["log_size_hist"])):
+            assert abs(int(got) - want) <= max(3, 0.10 * want), (
+                i, hist.tolist(), EM_DENSITY_GOLDEN["log_size_hist"],
+            )
