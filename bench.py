@@ -29,6 +29,14 @@ encoder convs measures ~2x on isolated stage4 dilated convs
 Mvox/s on v5e) — the quantize/rescale ops break XLA fusion between convs.
 bf16 stays the default; int8_execution=True is the measured opt-in.
 
+Stage shares (round 3, --only stages, v5e): encoder 23% @ MFU 0.51,
+decoders 15% @ 0.71, heads+render 58% @ 0.12, postprocess 3%.  The
+missing MFU is located: heads+render's arithmetic intensity is ~49
+flops/byte vs the v5e ridge of ~240 — full-resolution upsample/render
+HBM traffic, memory-bound under any schedule (its own roofline ceiling
+is ~0.20).  int8 weights cannot move it (it is activation-traffic-bound),
+which is consistent with the e2e int8 null result above.
+
 Secondary recorded numbers (not in the JSON line): the full 3D pipeline
 (MultiChipEngine3d on 64x512x512 uint8, incl. host RLE/matching/fill and
 the dev tunnel's host<->device transfer tax) runs at 5.2 Mvox/s end-to-end
@@ -225,13 +233,31 @@ _TPU_PEAK_BF16_FLOPS = {
     "v6e": 918e12,
 }
 
+_TPU_HBM_GBPS = {
+    # per-chip HBM bandwidth (public figures)
+    "v4": 1228e9,
+    "v5 lite": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6 lite": 1638e9,
+    "v6e": 1638e9,
+}
 
-def peak_flops(device) -> float:
+
+def _lookup_device(table, device, default):
     kind = getattr(device, "device_kind", "").lower()
-    for key, val in _TPU_PEAK_BF16_FLOPS.items():
+    for key, val in table.items():
         if key in kind:
             return val
-    return 197e12  # conservative default (v5e-class)
+    return default
+
+
+def peak_flops(device) -> float:
+    return _lookup_device(_TPU_PEAK_BF16_FLOPS, device, 197e12)
+
+
+def hbm_bandwidth(device) -> float:
+    return _lookup_device(_TPU_HBM_GBPS, device, 819e9)
 
 
 def measured_flops(pipeline_batch, variables, images) -> float:
@@ -438,6 +464,90 @@ def bench_ortho():
     return out
 
 
+@_alarm_guard(1200, "bench_stages")
+def bench_stages(pipeline_batch, variables, images, int8: bool = False):
+    """Stage shares of the compiled 2D pipeline (VERDICT r2 #6: locate the
+    missing ~75% of peak).  Times nested prefixes of the pipeline on device
+    (encoder -> +decoders -> full forward w/ render -> +postprocess) and
+    pairs each stage DELTA with XLA's own cost analysis (flops + HBM bytes
+    accessed), giving a per-stage roofline estimate: a stage whose
+    arithmetic intensity sits well below the ridge point (peak_flops /
+    HBM_BW) cannot reach peak MFU under any schedule — that locates the
+    'missing' MFU instead of guessing.  ``bound_mfu`` is approximate:
+    cost-analysis bytes are pre-scheduling operand traffic, over-counting
+    fused/in-register reuse, so an efficient stage can measure above it
+    (the resnet50 encoder does); a stage far BELOW its bound and the ridge
+    (heads+render: intensity ~49, measured MFU 0.12) is genuinely
+    memory-bound — upsample/render traffic on full-res maps, not MXU
+    starvation."""
+    import jax
+    import jax.numpy as jnp
+
+    from empanada_tpu.models import create_model
+    from empanada_tpu.utils import device_time
+
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16,
+                         int8_execution=int8, **FLAGSHIP_KW)
+
+    def enc(v, x):
+        return model.apply(v, x, train=False,
+                           method=lambda m, x, train: m._encoder(x, train))
+
+    def encdec(v, x):
+        return model.apply(v, x, train=False,
+                           method=lambda m, x, train: m._encode_decode(x, train))
+
+    def fwd(v, x):
+        return model.apply(v, x, train=False, render_steps=2,
+                           interpolate_ins=False)
+
+    def pert(a, i):
+        return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
+
+    device = jax.devices()[0]
+    peak = peak_flops(device)
+    bw = hbm_bandwidth(device)
+    ridge = peak / bw
+
+    prefixes = [
+        ("encoder", jax.jit(enc)),
+        ("decoders", jax.jit(encdec)),
+        ("heads+render", jax.jit(fwd)),
+        ("postprocess", pipeline_batch),
+    ]
+    out = {"ridge_flops_per_byte": round(ridge, 1)}
+    prev = (0.0, 0.0, 0.0)  # (ms, flops, bytes) of the previous prefix
+    total_ms = None
+    for name, fn in prefixes:
+        dt = device_time(fn, variables, images, iters=6, trials=2, perturb=pert)
+        flops = byts = 0.0
+        try:
+            analysis = fn.lower(variables, images).compile().cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            flops = float(analysis.get("flops", 0.0))
+            byts = float(analysis.get("bytes accessed", 0.0))
+        except Exception:
+            pass
+        d_ms = dt * 1e3 - prev[0]
+        d_fl = flops - prev[1]
+        d_by = byts - prev[2]
+        stage = {"ms": round(d_ms, 2)}
+        if d_fl > 0 and d_by > 0:
+            intensity = d_fl / d_by
+            stage["intensity"] = round(intensity, 1)
+            stage["bound_mfu"] = round(min(1.0, intensity * bw / peak), 3)
+            if d_ms > 0:
+                stage["mfu"] = round(d_fl / (d_ms / 1e3) / peak, 3)
+        out[name] = stage
+        prev = (dt * 1e3, flops, byts)
+        total_ms = dt * 1e3
+    if total_ms:
+        for name, _ in prefixes:
+            out[name]["share"] = round(out[name]["ms"] / total_ms, 3)
+    return out
+
+
 @_alarm_guard(600, "bench_train")
 def bench_train():
     """Jitted train-step throughput (MitoNet_v1 arch, PanopticLoss + AdamW,
@@ -492,7 +602,32 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="A/B: selective int8 encoder execution "
                              "(s8xs8 MXU convs for wide 3x3s)")
+    parser.add_argument("--only", default=None,
+                        choices=["3d", "ortho", "train", "stages"],
+                        help="run a single secondary bench section and print "
+                             "its dict (perf iteration aid; the headline "
+                             "JSON line still requires a full run)")
     args = parser.parse_args(argv)
+
+    if args.only:
+        if args.only == "stages":
+            import jax.numpy as jnp
+            from scipy.ndimage import gaussian_filter
+
+            pipeline_batch, variables = build(int8=args.int8)
+            rng = np.random.default_rng(0)
+            raw = rng.normal(0, 1, (BATCH, H, W, 1))
+            raw = np.stack([gaussian_filter(im, (12, 12, 0)) for im in raw])
+            raw = (raw - raw.mean()) / (raw.std() + 1e-6)
+            result = bench_stages(pipeline_batch, variables,
+                                  jnp.asarray(raw, jnp.float32),
+                                  int8=args.int8)
+        else:
+            fn = {"3d": bench_3d, "ortho": bench_ortho,
+                  "train": bench_train}[args.only]
+            result = fn()
+        print(json.dumps({args.only: result}))
+        return
 
     if args.measure_baseline:
         fp32 = measure_baseline(quantize=False)
@@ -561,6 +696,9 @@ def main(argv=None):
     flops = measured_flops(pipeline_batch, variables, images)
     mfu = flops / dt / peak_flops(jax.devices()[0]) if flops else None
 
+    stages = None if args.skip_3d else bench_stages(
+        pipeline_batch, variables, images, int8=args.int8
+    )
     r3d = None if args.skip_3d else bench_3d()
     rortho = None if args.skip_3d else bench_ortho()
     train_imgs = None if args.skip_3d else bench_train()
@@ -586,6 +724,8 @@ def main(argv=None):
     if rortho is not None:
         out["value_ortho"] = round(rortho.pop("mvox_s"), 3)
         out["attribution_ortho"] = rortho
+    if stages is not None:
+        out["stages_2d"] = stages
     print(json.dumps(out))
 
 
