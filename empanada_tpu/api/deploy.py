@@ -95,13 +95,15 @@ def export_serving_artifact(
         sem = pp.logits_to_prob(out["sem_logits"])
         cells = pp.get_instance_cells(
             out["ctr_hmp"], out["offsets"], coarse, 1,
-            nms_threshold, nms_kernel, max_centers,
+            nms_threshold, nms_kernel, max_centers, keep_coarse=True,
         )
         sem_h = pp.harden_seg(sem, confidence_thr)
-        ins = jnp.where(pp._thing_mask(sem_h, thing_list), cells, 0)
-        pan = pp.merge_semantic_and_instance(
-            sem_h, ins, label_divisor, thing_list, stuff_area, void_label,
-            num_classes, max_centers,
+        # coarse-grid merge: bit-exact vs the dense merge given the same
+        # hardened sem and grouping ids (tests/test_postprocess.py::
+        # TestMergeCoarse), so the engine-parity contract holds
+        pan = pp.merge_semantic_and_instance_coarse(
+            sem_h, cells, label_divisor, thing_list, stuff_area, void_label,
+            num_classes, max_centers, step=4 if coarse else 1,
         )
         return pan[0, :h, :w]
 

@@ -257,8 +257,29 @@ class PanopticDeepLabRenderEngine(_EngineBase):
                 self.void_label, self.num_classes, self.max_centers,
             )
 
+        @partial(jax.jit, static_argnames=("upsampling",))
+        def _post(sem_prob, ctr_hmp, offsets, upsampling=1):
+            """Fused cells+merge in ONE dispatch, with the instance one-hot
+            contractions on the coarse grouping grid (exact — see
+            merge_semantic_and_instance_coarse); the full-res instance map
+            is never materialized.  Returns (pan, n_over)."""
+            cells, n_over = pp.get_instance_cells(
+                ctr_hmp, offsets, self.coarse_boundaries, upsampling,
+                self.nms_threshold, self.nms_kernel, self.max_centers,
+                return_overflow=True, keep_coarse=True,
+            )
+            step = int(upsampling) * (4 if self.coarse_boundaries else 1)
+            sem = pp.harden_seg(sem_prob, self.confidence_thr)
+            pan = pp.merge_semantic_and_instance_coarse(
+                sem, cells, self.label_divisor, self.thing_list,
+                self.stuff_area, self.void_label, self.num_classes,
+                self.max_centers, step=step,
+            )
+            return pan, n_over
+
         self._cells = _cells
         self._merge = _merge
+        self._post = _post
 
     def infer(self, image: jnp.ndarray, render_steps: int = 2) -> dict:
         out = self._forward(
@@ -271,13 +292,25 @@ class PanopticDeepLabRenderEngine(_EngineBase):
 
     def get_instance_cells(self, ctr_hmp, offsets, upsampling: int = 1):
         cells, n_over = self._cells(ctr_hmp, offsets, upsampling=int(upsampling))
+        self._track_overflow(n_over)
+        return cells
+
+    def _track_overflow(self, n_over):
         # device-side max accumulation: no fetch on the dispatch path; one
         # scalar fetch in dropped_centers() reads the whole run's worst case
         self._overflow_dev = (
             n_over if self._overflow_dev is None
             else jnp.maximum(self._overflow_dev, n_over)
         )
-        return cells
+
+    def _post_fused(self, out: dict, upsampling: int):
+        """One-dispatch postprocess (coarse-grid merge) + overflow track."""
+        pan, n_over = self._post(
+            out["sem"], out["ctr_hmp"], out["offsets"],
+            upsampling=int(upsampling),
+        )
+        self._track_overflow(n_over)
+        return pan
 
     def dropped_centers(self) -> int:
         """Worst-case number of NMS centers dropped by the ``max_centers``
@@ -314,8 +347,7 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         tiled path pipelines tiles this way."""
         out = self._forward_out(image, size, upsampling)
         h, w = out["size"]
-        cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
-        pan = self.postprocess(out["sem"], cells)
+        pan = self._post_fused(out, upsampling)
         return pan[0, :h, :w]
 
     def __call__(self, image: np.ndarray, size, upsampling: int = 1) -> np.ndarray:
@@ -341,10 +373,7 @@ class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
         # per-call size argument permits varying slice sizes; end() already
         # does the same)
         h, w = median_out["size"]
-        cells = self.get_instance_cells(
-            median_out["ctr_hmp"], median_out["offsets"], upsampling
-        )
-        pan = self.postprocess(median_out["sem"], cells)
+        pan = self._post_fused(median_out, upsampling)
         return pan[0, :h, :w]
 
     def __call__(self, image, size, upsampling: int = 1) -> Optional[np.ndarray]:
@@ -355,8 +384,7 @@ class PanopticDeepLabRenderEngine3d(PanopticDeepLabRenderEngine):
         final = []
         for out in self.median.end():
             h, w = out["size"]
-            cells = self.get_instance_cells(out["ctr_hmp"], out["offsets"], upsampling)
-            pan = self.postprocess(out["sem"], cells)
+            pan = self._post_fused(out, upsampling)
             final.append(np.asarray(pan[0, :h, :w]))
         return final
 

@@ -40,6 +40,7 @@ __all__ = [
     "group_pixels",
     "get_instance_cells",
     "merge_semantic_and_instance",
+    "merge_semantic_and_instance_coarse",
     "get_panoptic_segmentation",
     "encode_runs_packed",
 ]
@@ -208,6 +209,7 @@ def get_instance_cells(
     nms_kernel: int = 7,
     max_centers: int = 256,
     return_overflow: bool = False,
+    keep_coarse: bool = False,
 ):
     """Reference ``PanopticDeepLabRenderEngine.get_instance_cells``
     (engines.py:257): NMS + grouping (at 1/4 res when coarse) + nearest
@@ -215,14 +217,20 @@ def get_instance_cells(
 
     With ``return_overflow``, also returns the number of NMS-surviving
     centers DROPPED by the static ``max_centers`` cap (() int32 device
-    scalar; 0 in the common case)."""
+    scalar; 0 in the common case).
+
+    With ``keep_coarse``, the id map is returned AT THE GROUPING GRID
+    (no nearest upsample) for consumption by
+    :func:`merge_semantic_and_instance_coarse` with
+    ``step = upsampling * (4 if coarse_boundaries else 1)`` — the fused
+    merge never materializes the full-resolution instance map."""
     step = 4 if coarse_boundaries else 1
     centers, valid, n_peaks = find_instance_center(
         ctr_hmp, threshold, nms_kernel, max_centers, return_count=True
     )
     cells = group_pixels(centers, valid, offsets, step=step)
     scale = int(upsampling * step)
-    if scale > 1:
+    if scale > 1 and not keep_coarse:
         cells = nearest_resize(
             cells[..., None], (cells.shape[1] * scale, cells.shape[2] * scale)
         )[..., 0]
@@ -312,6 +320,123 @@ def merge_semantic_and_instance(
         if class_id in thing_list:
             continue
         stuff_mask = (sem == class_id) & (~thing_seg)
+        area = stuff_mask.sum()
+        pan = jnp.where(stuff_mask & (area >= stuff_area), class_id * label_divisor, pan)
+    return pan
+
+
+def merge_semantic_and_instance_coarse(
+    sem: jnp.ndarray,
+    cells_coarse: jnp.ndarray,
+    label_divisor: int,
+    thing_list: Sequence[int],
+    stuff_area: int,
+    void_label: int,
+    num_classes: int,
+    max_centers: int = 256,
+    step: int = 4,
+) -> jnp.ndarray:
+    """Fused, exact equivalent of::
+
+        cells = nearest_up(cells_coarse, step)           # block replicate
+        ins = jnp.where(_thing_mask(sem, thing_list), cells, 0)
+        merge_semantic_and_instance(sem, ins, ...)
+
+    with every (pixels x K) one-hot contraction computed on the COARSE
+    grouping grid (1/step resolution).  The per-(instance, class) histogram
+    uses step^2-block class counts — exact because the block-replicated
+    instance id is constant over each step x step block — and the per-pixel
+    pan ids are computed coarse then block-replicated.  At the production
+    step of 4 this cuts the merge stage's HBM traffic ~16x; merge is the
+    memory-bound postprocess stage (BENCH_r03 stages_2d: postprocess MFU
+    0.007 against its own roofline bound of 0.059).  Reference kernel
+    being replaced: ``empanada/inference/postprocess.py:223`` (torch.mode
+    loop over instances).
+
+    Exactness: block class counts are <= step^2 <= 256 (bf16-exact); the
+    one-hot einsum accumulates in f32 (exact integers < 2^24); instance
+    class/id matvecs carry the same MXU-precision guards as the dense
+    merge.  ``sem``: (1, H, W) hardened labels; ``cells_coarse``:
+    (1, H/step, W/step) grouping ids (1..K, 0 = no center).
+    """
+    if step == 1 or step > 16:
+        # step > 16 would push block class counts past bf16-exact 256;
+        # upsample and take the dense merge (exotic upsampling factors only)
+        cells = cells_coarse
+        if step > 1:
+            n0, hc0, wc0 = cells.shape
+            cells = jnp.broadcast_to(
+                cells[:, :, None, :, None], (n0, hc0, step, wc0, step)
+            ).reshape(n0, hc0 * step, wc0 * step)
+        ins = jnp.where(_thing_mask(sem, thing_list), cells, 0)
+        return merge_semantic_and_instance(
+            sem, ins, label_divisor, thing_list, stuff_area, void_label,
+            num_classes, max_centers,
+        )
+    sem = sem.astype(jnp.int32)
+    cells = cells_coarse.astype(jnp.int32)
+    n, big_h, big_w = sem.shape
+    hc, wc = cells.shape[1], cells.shape[2]
+    assert big_h == hc * step and big_w == wc * step, (sem.shape, cells.shape, step)
+    semantic_thing = _thing_mask(sem, thing_list)
+
+    k = max_centers
+    c = num_classes
+
+    def block_up(x):  # nearest upsample by integer step = block replicate
+        return jnp.broadcast_to(
+            x[:, :, None, :, None], (n, hc, step, wc, step)
+        ).reshape(n, big_h, big_w)
+
+    # step^2-block class counts restricted to thing-class pixels:
+    # (N, hc, wc, C), values <= step^2 (bf16-exact integers)
+    sem_oh = (sem[..., None] == jnp.arange(c)) & semantic_thing[..., None]
+    blockcnt = (
+        sem_oh.reshape(n, hc, step, wc, step, c)
+        .sum(axis=(2, 4), dtype=jnp.int32)
+        .astype(jnp.bfloat16)
+    )
+
+    ins_flat = cells.reshape(-1)
+    oh_ins = (ins_flat[:, None] == jnp.arange(1, k + 1)[None, :]).astype(
+        jnp.bfloat16
+    )  # (p, K) on the coarse grid — step^2x smaller than the dense merge's
+    counts = jnp.einsum(
+        "pk,pc->kc", oh_ins, blockcnt.reshape(-1, c),
+        preferred_element_type=jnp.float32,
+    )  # identical values to the dense merge's full-res histogram
+
+    inst_size = counts.sum(axis=1)
+    inst_valid = inst_size > 0
+    inst_class = jnp.argmax(counts, axis=1).astype(jnp.int32)
+    class_onehot = jax.nn.one_hot(inst_class, c, dtype=jnp.int32) * inst_valid[:, None]
+    prior_same_class = jnp.cumsum(class_onehot, axis=0) - class_onehot
+    new_ids = (prior_same_class * class_onehot).sum(axis=1) + 1
+
+    # same MXU-precision guards as merge_semantic_and_instance (bf16 MXU
+    # inputs are exact only for integer values <= 256)
+    prec_cls = None if c <= 256 else jax.lax.Precision.HIGHEST
+    prec_new = None if k <= 256 else jax.lax.Precision.HIGHEST
+    pan_cls = jnp.einsum(
+        "pk,k->p", oh_ins, inst_class.astype(jnp.float32),
+        precision=prec_cls, preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    pan_new = jnp.einsum(
+        "pk,k->p", oh_ins, new_ids.astype(jnp.float32),
+        precision=prec_new, preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    pan_thing_c = (pan_cls * label_divisor + pan_new).reshape(n, hc, wc)
+
+    thing_px = block_up(cells > 0) & semantic_thing
+    pan = jnp.full_like(sem, void_label)
+    pan = jnp.where(thing_px, block_up(pan_thing_c), pan)
+
+    # stuff classes (ins is pre-masked in every caller, so thing_seg ==
+    # thing_px — same semantics as the dense merge's call sites)
+    for class_id in range(num_classes):
+        if class_id in thing_list:
+            continue
+        stuff_mask = (sem == class_id) & (~thing_px)
         area = stuff_mask.sum()
         pan = jnp.where(stuff_mask & (area >= stuff_area), class_id * label_divisor, pan)
     return pan

@@ -254,12 +254,14 @@ class SpatialEngine2d:
             cells = pp.get_instance_cells(
                 out["ctr_hmp"], out["offsets"], self.coarse_boundaries, 1,
                 self.nms_threshold, self.nms_kernel, self.max_centers,
+                keep_coarse=True,
             )
             sem_h = pp.harden_seg(sem, self.confidence_thr)
-            ins = jnp.where(pp._thing_mask(sem_h, self.thing_list), cells, 0)
-            pan = pp.merge_semantic_and_instance(
-                sem_h, ins, self.label_divisor, self.thing_list, self.stuff_area,
-                self.void_label, self.num_classes, self.max_centers,
+            # coarse-grid merge: exact, ~16x less one-hot HBM traffic
+            pan = pp.merge_semantic_and_instance_coarse(
+                sem_h, cells, self.label_divisor, self.thing_list,
+                self.stuff_area, self.void_label, self.num_classes,
+                self.max_centers, step=4 if self.coarse_boundaries else 1,
             )
             return pan
 

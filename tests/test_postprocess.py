@@ -201,6 +201,40 @@ class TestMerge:
         assert (got[2:, 2:] == 0).all()
 
 
+class TestMergeCoarse:
+    @pytest.mark.parametrize("seed,step", [(0, 4), (1, 4), (2, 8), (3, 1)])
+    def test_matches_dense_merge(self, seed, step):
+        """Fused coarse merge == dense merge on block-replicated cells for
+        every (instance, class) layout — the exactness contract that lets
+        the engines route through the 16x-cheaper kernel."""
+        rng = np.random.default_rng(seed)
+        hc = wc = 8
+        h, w = hc * step, wc * step
+        num_classes = 4
+        thing_list = (1, 3)
+        sem = rng.integers(0, num_classes, (h, w)).astype(np.int32)
+        cells_c = rng.integers(0, 6, (hc, wc)).astype(np.int32)
+        cells = np.kron(cells_c, np.ones((step, step), np.int32))
+        ins = np.where(np.isin(sem, thing_list), cells, 0)
+
+        want = pp.merge_semantic_and_instance(
+            jnp.asarray(sem)[None], jnp.asarray(ins)[None],
+            label_divisor=100, thing_list=thing_list, stuff_area=30,
+            void_label=7, num_classes=num_classes, max_centers=8,
+        )
+        got = jax.jit(
+            pp.merge_semantic_and_instance_coarse,
+            static_argnames=("label_divisor", "thing_list", "stuff_area",
+                             "void_label", "num_classes", "max_centers",
+                             "step"),
+        )(
+            jnp.asarray(sem)[None], jnp.asarray(cells_c)[None],
+            label_divisor=100, thing_list=thing_list, stuff_area=30,
+            void_label=7, num_classes=num_classes, max_centers=8, step=step,
+        )
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestFullPipeline:
     def test_two_blobs(self):
         """Synthetic two-instance case: centers + offsets pointing at them."""
