@@ -382,10 +382,19 @@ def cmd_port(args):
         port_state_dict,
     )
 
+    from empanada_tpu.port.torch_port import CheckpointReadError
+
     config = _model_config(args.model) if args.model else None
     arch = args.arch or (config and config.get("arch"))
     kwargs = (config or {}).get("model_kwargs", {})
-    state_dict, ckpt_arch = load_torch_checkpoint(args.checkpoint)
+    try:
+        state_dict, ckpt_arch = load_torch_checkpoint(
+            args.checkpoint, allow_pickle=args.allow_pickle)
+    except CheckpointReadError as e:
+        raise SystemExit(
+            f"port: {e}\nport needs a readable checkpoint "
+            "(TorchScript archive, training checkpoint, or raw state dict; "
+            "raw state dicts also need --arch or --model)")
     if arch is None:
         # published artifacts (TorchScript archives) carry no arch metadata;
         # recover arch + kwargs from the weights themselves
@@ -590,6 +599,9 @@ def build_parser():
     sp.add_argument("--arch", default=None)
     sp.add_argument("--quantize", action="store_true",
                     help="store int8 weights in the output bundle")
+    sp.add_argument("--allow-pickle", action="store_true",
+                    help="permit full-pickle torch.load for trusted legacy "
+                         "checkpoints (arbitrary code execution risk)")
     sp.set_defaults(func=cmd_port)
 
     sp = sub.add_parser("docs", help="print the framework documentation")

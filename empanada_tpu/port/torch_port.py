@@ -325,8 +325,34 @@ def infer_arch_and_kwargs(state_dict: Dict) -> tuple:
         kw["low_level_channels_project"] = proj
         kw["ins_decoder"] = has("instance_decoder.")
         if kw["ins_decoder"]:
-            ins_proj = int(sd["instance_decoder.project.0.0.weight"].shape[0])
-            kw["ins_ratio"] = round(ins_proj / proj[0], 4)
+            # the reference builds per-stage instance projections as
+            # int(ins_ratio * proj[i]) (truncation) — recover a ratio that
+            # reproduces EVERY observed width, not just stage 0's, so a
+            # rebuilt model can't silently mismatch the ported variables
+            ins_projs = []
+            i = 0
+            while f"instance_decoder.project.{i}.0.weight" in keys:
+                ins_projs.append(
+                    int(sd[f"instance_decoder.project.{i}.0.weight"].shape[0]))
+                i += 1
+            # int(r * q) == p  <=>  r in [p/q, (p+1)/q); intersect per stage
+            lo = max(p / q for p, q in zip(ins_projs, proj))
+            hi = min((p + 1) / q for p, q in zip(ins_projs, proj))
+            if not lo < hi:
+                raise ValueError(
+                    "cannot recover ins_ratio: instance-decoder projection "
+                    f"widths {ins_projs} are inconsistent with semantic "
+                    f"projection widths {proj[:len(ins_projs)]} under any "
+                    "single truncating ratio — pass model_kwargs explicitly")
+            import math
+
+            for nd in range(1, 7):  # shortest decimal in [lo, hi)
+                cand = math.ceil(lo * 10 ** nd) / 10 ** nd
+                if lo <= cand < hi:
+                    kw["ins_ratio"] = cand
+                    break
+            else:
+                kw["ins_ratio"] = lo
 
     if has("semantic_pr."):
         n_fc = 0
@@ -403,7 +429,11 @@ def port_state_dict(state_dict: Dict, arch: str, model_kwargs: dict) -> dict:
     return {"params": b.params, "batch_stats": b.batch_stats}
 
 
-def load_torch_checkpoint(path: str):
+class CheckpointReadError(ValueError):
+    """The file is not a readable torch checkpoint in any supported format."""
+
+
+def load_torch_checkpoint(path: str, allow_pickle: bool = False):
     """Load a torch checkpoint file's state dict.
 
     Handles all three formats a reference checkpoint arrives in:
@@ -411,13 +441,41 @@ def load_torch_checkpoint(path: str):
     format, loaded by the reference with ``torch.jit.load``,
     ``empanada_napari/utils.py:80-106``), the reference's
     ``{state_dict, norms, ...}`` training checkpoints, and raw state dicts.
+
+    Checkpoints are untrusted cross-machine artifacts, so the pickle path
+    defaults to ``weights_only=True`` (tensors only, no arbitrary code).
+    Legacy checkpoints whose payload pickles non-tensor objects need an
+    explicit ``allow_pickle=True`` opt-in (CLI: ``port --allow-pickle``).
+
+    Raises :class:`CheckpointReadError` when the file matches none of the
+    formats (corrupt download, truncated file, not a checkpoint at all).
     """
+    import pickle
+    import zipfile
+
     import torch
 
+    blob = None
     try:
         blob = torch.jit.load(path, map_location="cpu")
-    except RuntimeError:
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+    except (RuntimeError, ValueError, zipfile.BadZipFile, EOFError, OSError):
+        errors = []
+        for weights_only in (True,) + (() if not allow_pickle else (False,)):
+            try:
+                blob = torch.load(path, map_location="cpu",
+                                  weights_only=weights_only)
+                break
+            except (RuntimeError, ValueError, pickle.UnpicklingError,
+                    zipfile.BadZipFile, EOFError, OSError,
+                    AttributeError, ModuleNotFoundError) as e:
+                errors.append(e)
+        if blob is None:
+            hint = ("" if allow_pickle else
+                    " (if this is a trusted legacy pickle checkpoint, retry "
+                    "with allow_pickle)")
+            raise CheckpointReadError(
+                f"{path} is not a readable torch checkpoint "
+                f"(tried torch.jit.load and torch.load): {errors[-1]}{hint}")
     if hasattr(blob, "state_dict"):
         return blob.state_dict(), getattr(blob, "arch", None)
     if isinstance(blob, dict) and "state_dict" in blob:

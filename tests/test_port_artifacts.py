@@ -155,6 +155,26 @@ def test_infer_arch_plain_pdl():
     assert kw["ins_decoder"] is False
 
 
+def test_infer_arch_ins_ratio_truncation():
+    """ins_ratio recovery must satisfy EVERY stage's truncated projection
+    width: proj=[15, 8] at ratio 0.5 gives instance widths [7, 4]; the
+    naive stage-0 recovery 7/15=0.4667 would rebuild stage 1 at
+    int(0.4667*8)=3 channels and fail opaquely at apply time."""
+    from empanada.models import PanopticDeepLab as TorchPDL
+
+    torch.manual_seed(2)
+    m = TorchPDL(encoder="resnet18", num_classes=1, stage4_stride=32,
+                 decoder_channels=64,
+                 low_level_stages=[2, 1],
+                 low_level_channels_project=[15, 8],
+                 atrous_rates=[2, 4, 6], ins_decoder=True,
+                 ins_ratio=0.5).eval()
+    arch, kw = infer_arch_and_kwargs(m.state_dict())
+    assert kw["ins_decoder"] is True
+    for p, want in zip(kw["low_level_channels_project"], (7, 4)):
+        assert int(kw["ins_ratio"] * p) == want
+
+
 def test_torchscript_archive_loads(ts_archive, tmodel):
     """load_torch_checkpoint reads the torch.jit.save zip and returns the
     same tensors as the live module's state dict."""
