@@ -107,6 +107,22 @@ class MultiChipEngine3d:
         self.auto_batch_target_px = int(kwargs.pop("auto_batch_target_px",
                                                    8 << 20))
         self.auto_batch_max = int(kwargs.pop("auto_batch_max", 256))
+        # fetch+decode on a drainer thread (off the dispatch path) and
+        # parallel per-slice rle_seg construction in the matcher
+        self.drain_async = bool(kwargs.pop("drain_async", True))
+        self.seg_build_workers = kwargs.pop("seg_build_workers", None)
+        # volume residency: upload the uint volume to device memory ONCE and
+        # slice/transpose/pad per axis inside the forward jit — ortho-plane
+        # sweeps then never re-stream host slices (the reference re-reads the
+        # volume per axis, empanada_napari/_volume_inference.py:336-348).
+        # "auto": resident when the volume is an integer ndarray, scale==1,
+        # and it fits resident_max_bytes per device.
+        self.volume_resident = kwargs.pop("volume_resident", "auto")
+        self.resident_max_bytes = int(kwargs.pop("resident_max_bytes",
+                                                 256 << 20))
+        self._vol_cache_key = None
+        self._vol_cache_ref = None
+        self._vol_cache_dev = None
 
         self.model_config = model_config
         self.labels = model_config["labels"]
@@ -185,13 +201,14 @@ class MultiChipEngine3d:
             cells, n_over = pp.get_instance_cells(
                 ctr_hmp[None], offsets[None], self.coarse_boundaries, upsampling,
                 self.nms_threshold, self.nms_kernel, self.max_centers,
-                return_overflow=True,
+                return_overflow=True, keep_coarse=True,
             )
+            step = int(upsampling) * (4 if self.coarse_boundaries else 1)
             sem_h = pp.harden_seg(sem_med[None], self.confidence_thr)
-            ins = jnp.where(pp._thing_mask(sem_h, self.thing_list), cells, 0)
-            pan = pp.merge_semantic_and_instance(
-                sem_h, ins, self.label_divisor, self.thing_list, self.stuff_area,
-                self.void_label, self.num_classes, self.max_centers,
+            # coarse-grid merge: exact, ~step^2x less one-hot HBM traffic
+            pan = pp.merge_semantic_and_instance_coarse(
+                sem_h, cells, self.label_divisor, self.thing_list, self.stuff_area,
+                self.void_label, self.num_classes, self.max_centers, step=step,
             )
             return pan[0], n_over
 
@@ -226,8 +243,44 @@ class MultiChipEngine3d:
             pans = pans[:, :h, :w]
             return pans, pp.encode_runs_packed(pans, max_runs), n_over
 
+        @partial(jax.jit, static_argnames=("axis", "pad_axis", "pad_h", "pad_w"))
+        def prep_volume(vol, axis, pad_axis, pad_h, pad_w):
+            """Per-axis device prep of a resident volume: transpose so the
+            sweep axis is leading, edge-pad the axis to a whole number of
+            batches (tail batches then read copies of the last slice — the
+            exact tail semantics of the streamed host path), and zero-pad
+            H/W to the padding factor (factor_pad_numpy equivalent)."""
+            v = jnp.moveaxis(vol, axis, 0)
+            if pad_axis:
+                v = jnp.pad(v, ((0, pad_axis), (0, 0), (0, 0)), mode="edge")
+            if pad_h or pad_w:
+                v = jnp.pad(v, ((0, 0), (0, pad_h), (0, pad_w)))
+            return v
+
+        @partial(jax.jit, static_argnames=("b", "render_steps"))
+        def forward_sliced(variables, vol, start, max_value, b, render_steps):
+            """Forward over a batch sliced straight out of the resident
+            device volume — zero host->device traffic per batch.  The
+            volume is replicated over the mesh; the sharding constraint
+            re-lays the sliced batch out data-parallel so model compute
+            shards exactly like the streamed path."""
+            imgs = jax.lax.dynamic_slice_in_dim(vol, start, b, axis=0)
+            imgs = imgs[..., None]
+            imgs = jax.lax.with_sharding_constraint(imgs, self._shard)
+            x = imgs.astype(self.compute_dtype)
+            x = (x / max_value - mean) / std
+            out = model.apply(
+                variables, x, train=False,
+                render_steps=render_steps,
+                interpolate_ins=not self.coarse_boundaries,
+            )
+            sem = pp.logits_to_prob(out["sem_logits"])
+            return sem, out["ctr_hmp"], out["offsets"]
+
         self._forward = forward
         self._post_batch = postprocess_batch
+        self._prep_volume = prep_volume
+        self._forward_sliced = forward_sliced
 
     # ------------------------------------------------------------------
     def _max_runs(self, width: int) -> int:
@@ -271,6 +324,28 @@ class MultiChipEngine3d:
         per = -(-n_slices // n_batches)
         return max(n_dev, -(-per // n_dev) * n_dev)
 
+    def _resident_volume(self, volume):
+        """Device handle for a resident volume, or None to stream from host.
+
+        The raw (untransposed) volume is cached on the engine, so the three
+        ortho-plane sweeps — and repeated calls on the same volume — pay for
+        ONE host->device upload total."""
+        if self.volume_resident is False or self.inference_scale != 1:
+            return None
+        if not isinstance(volume, np.ndarray) or not np.issubdtype(
+                volume.dtype, np.integer):
+            return None
+        if self.volume_resident == "auto" \
+                and volume.nbytes > self.resident_max_bytes:
+            return None
+        key = (id(volume), volume.shape, str(volume.dtype))
+        if self._vol_cache_key != key:
+            self._vol_cache_dev = jax.device_put(jnp.asarray(volume),
+                                                 self._repl)
+            self._vol_cache_key = key
+            self._vol_cache_ref = volume  # keeps id() valid for the key
+        return self._vol_cache_dev
+
     def _batches(self, dataset: VolumeDataset, b: int):
         """Yield (indices, images (B, H, W, 1) padded+stacked, size)."""
         n = len(dataset)
@@ -310,6 +385,15 @@ class MultiChipEngine3d:
             "merge_iou_thr": self.merge_iou_thr,
             "merge_ioa_thr": self.merge_ioa_thr,
             "batch_size": self.batch_size,
+            # auto-batch runs record the RESOLVED per-axis batch (plus the
+            # knobs it came from), so a resume on a different mesh or with
+            # different auto-batch settings is detected as a config
+            # mismatch instead of silently replaying other batch boundaries
+            "resolved_batch": self._resolve_batch(
+                volume.shape, self.axes[axis_name]),
+            "n_dev": self.n_dev,
+            "auto_batch_target_px": self.auto_batch_target_px,
+            "auto_batch_max": self.auto_batch_max,
             "model_name": self.model_config.get("model_name", ""),
         }
 
@@ -362,10 +446,28 @@ class MultiChipEngine3d:
         feed_batch = max(0, j0 - K)
         drop = z_done - j0 * b
 
+        n_batches = -(-n_slices // b)
+
+        # resident mode: the whole volume lives in device memory (uploaded
+        # once, cached across axes); per-batch slicing/transpose/pad happen
+        # inside the forward jit and NOTHING crosses host->device per batch
+        vol_axis_dev = None
+        vol_raw_dev = self._resident_volume(volume)
+        if vol_raw_dev is not None:
+            dims = [s for i, s in enumerate(volume.shape) if i != axis]
+            with timer.stage("upload"):
+                vol_axis_dev = self._prep_volume(
+                    vol_raw_dev, axis=axis,
+                    pad_axis=n_batches * b - n_slices,
+                    pad_h=(-dims[0]) % self.padding_factor,
+                    pad_w=(-dims[1]) % self.padding_factor,
+                )
+            max_value = float(np.iinfo(volume.dtype).max)
+            dataset = None
+            res_size = (dims[0], dims[1])
         # integer volumes: ship raw slices and normalize on device (4x less
         # upload); float inputs are rejected like the reference Preprocessor
-        dev_norm = np.issubdtype(np.dtype(volume.dtype), np.integer)
-        if dev_norm:
+        elif np.issubdtype(np.dtype(volume.dtype), np.integer):
             max_value = float(np.iinfo(volume.dtype).max)
             dataset = VolumeDataset(volume, axis, None, scale=self.inference_scale,
                                     start=feed_batch * b)
@@ -375,6 +477,8 @@ class MultiChipEngine3d:
                 volume, axis, self.preprocessor, scale=self.inference_scale,
                 start=feed_batch * b,
             )
+        dev_norm = dataset is None or np.issubdtype(
+            np.dtype(volume.dtype), np.integer)
 
         trackers = [
             InstanceTracker(label, self.label_divisor, volume.shape, axis_name)
@@ -386,7 +490,8 @@ class MultiChipEngine3d:
         ckpt.prime_matchers(matchers, loaded_stack)
         worker = MatcherWorker(matchers, self.labels, self.label_divisor,
                                self.thing_list,
-                               force_connected=self.force_connected)
+                               force_connected=self.force_connected,
+                               build_workers=self.seg_build_workers)
         from empanada_tpu.utils import Progress
 
         bar = Progress(total=n_slices, desc=f"axis {axis_name}",
@@ -416,13 +521,13 @@ class MultiChipEngine3d:
         # resident — memory is O(batch + kernel), not O(volume).  The
         # reference streams one slice at a time through its DataLoader
         # (empanada_napari/inference.py:526-543); this is the batched analog.
-        n_batches = -(-n_slices // b)
-
-        batch_gen = self._batches(dataset, b)
+        # (Resident mode instead slices batches out of the device volume —
+        # O(volume) device memory by design, zero per-batch upload.)
+        batch_gen = self._batches(dataset, b) if dataset is not None else None
         sem_buf: dict = {}    # batch index -> device sem (B, H, W, C)
         io_buf: dict = {}     # batch index -> (ctr, off)
         fwd_done = feed_batch - 1
-        size = None
+        size = res_size if vol_axis_dev is not None else None
         self._max_resident = 0  # observability: peak sem batches resident
 
         def ensure_forwarded(upto: int):
@@ -432,17 +537,26 @@ class MultiChipEngine3d:
             # transfer), forward_dispatch (device forward compute when
             # synced; ~0 under normal async operation)
             while fwd_done < min(upto, n_batches - 1):
-                with timer.stage("host_prep"):
-                    _, images, size = next(batch_gen)
-                    if not dev_norm:
-                        images = images.astype(np.float32)
-                with timer.stage("upload"):
-                    images = jax.device_put(jnp.asarray(images), self._shard)
-                with timer.stage("forward_dispatch"):
-                    sem, ctr, off = self._forward(
-                        self.variables, images, jnp.float32(max_value),
-                        render_steps=render_steps, normalize=dev_norm,
-                    )
+                if vol_axis_dev is not None:
+                    with timer.stage("forward_dispatch"):
+                        sem, ctr, off = self._forward_sliced(
+                            self.variables, vol_axis_dev,
+                            jnp.int32((fwd_done + 1) * b),
+                            jnp.float32(max_value),
+                            b=b, render_steps=render_steps,
+                        )
+                else:
+                    with timer.stage("host_prep"):
+                        _, images, size = next(batch_gen)
+                        if not dev_norm:
+                            images = images.astype(np.float32)
+                    with timer.stage("upload"):
+                        images = jax.device_put(jnp.asarray(images), self._shard)
+                    with timer.stage("forward_dispatch"):
+                        sem, ctr, off = self._forward(
+                            self.variables, images, jnp.float32(max_value),
+                            render_steps=render_steps, normalize=dev_norm,
+                        )
                 fwd_done += 1
                 sem_buf[fwd_done] = sem
                 if fwd_done >= j0:
@@ -479,7 +593,37 @@ class MultiChipEngine3d:
                     for pan in pans:
                         put(pan.astype(np.int64))
 
-        pending = None
+        # Drainer thread: fetch + decode + enqueue run OFF the dispatch
+        # path, so the main loop only issues device work and the blocking
+        # np.asarray waits (post compute + packed transfer over the link)
+        # overlap both device compute and the matcher.  Bounded queue:
+        # each pending item pins a dense device map batch, so depth 2
+        # keeps device residency O(batch) as before.
+        import queue as queue_mod
+        import threading
+
+        drain_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        drain_err = []
+
+        def _drain_loop():
+            try:
+                while True:
+                    item = drain_q.get()
+                    if item is None:
+                        return
+                    drain(item)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                drain_err.append(exc)
+                # keep consuming so the producer's bounded put never blocks
+                while drain_q.get() is not None:
+                    pass
+
+        drainer = None
+        if self.drain_async:
+            drainer = threading.Thread(target=_drain_loop, daemon=True)
+            drainer.start()
+        pending = None  # sync-drain mode: one-batch-late inline drain
+
         overflow_dev = None
         max_runs = None  # resolved once size is known (first forward)
         t_stream = timer.stage("device_stream+forward_matching")
@@ -525,10 +669,6 @@ class MultiChipEngine3d:
                 n_over if overflow_dev is None
                 else jnp.maximum(overflow_dev, n_over)
             )
-            # drain the PREVIOUS batch while this one computes (the matcher
-            # must see slices in order, so drain before queueing this one)
-            if pending is not None:
-                drain(pending)
             # start the device->host copy now so it overlaps the NEXT
             # batch's compute (np.asarray at drain time then finds the
             # bytes already host-side — saves one blocking RPC per batch
@@ -538,7 +678,14 @@ class MultiChipEngine3d:
                 fetch.copy_to_host_async()
             except AttributeError:
                 pass
-            pending = (pans_dev, packed, stop - start, (h, w))
+            if drainer is not None:
+                if drain_err:
+                    break
+                drain_q.put((pans_dev, packed, stop - start, (h, w)))
+            else:
+                if pending is not None:
+                    drain(pending)
+                pending = (pans_dev, packed, stop - start, (h, w))
 
             self._max_resident = max(self._max_resident, len(sem_buf))
             # drop sem batches that no future window can reach
@@ -546,7 +693,14 @@ class MultiChipEngine3d:
                 if k < j + 1 - K:
                     del sem_buf[k]
 
-        if pending is not None:
+        if drainer is not None:
+            drain_q.put(None)
+            drainer.join()
+            if drain_err:
+                # surface the ORIGINAL exception (checkpoint/crash-resume
+                # flows and callers match on it), traceback preserved
+                raise drain_err[0]
+        elif pending is not None:
             drain(pending)
         rle_stack = loaded_stack + worker.finish()
         timer.add("matcher_busy", worker.stats["busy_s"])

@@ -74,6 +74,26 @@ def apply_matchers(rle_seg: dict, matchers) -> dict:
     return rle_seg
 
 
+def build_rle_seg(pan_seg, labels, label_divisor, thing_list,
+                  force_connected: bool = True):
+    """Construct a per-slice rle_seg from either a dense pan_seg array or a
+    device-compacted ``("runs", (values, rows, cs, ce), width)`` tuple.
+
+    This is the order-independent half of forward matching (per-slice
+    connected components + RLE grouping) — safe to run concurrently across
+    slices; only ``apply_matchers`` must see slices in order."""
+    if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
+        _, (values, rows, cs, ce), width = pan_seg
+        return runs_to_rle_seg(
+            values, rows, cs, ce, width,
+            labels, label_divisor, thing_list, force_connected=force_connected,
+        )
+    return pan_seg_to_rle_seg(
+        np.asarray(pan_seg), labels, label_divisor, thing_list,
+        force_connected=force_connected,
+    )
+
+
 def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
                      thing_list, force_connected: bool = True, stats=None):
     """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
@@ -82,13 +102,17 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
     (median queue filling); the ``FINISH`` sentinel ends the loop.  A
     device-compacted slice arrives as ``("runs", (values, rows, cs, ce),
     width)`` (see ops.postprocess.encode_runs_packed) and skips the dense
-    extract_runs pass.
+    extract_runs pass.  A ``concurrent.futures.Future`` item resolves to a
+    ``(rle_seg, build_seconds)`` pair from a parallel seg-build pool
+    (MatcherWorker); its exception (if any) re-raises here.
 
     ``stats`` (optional dict) accumulates ``busy_s``: seconds spent
-    processing items, excluding queue waits — the true host-matcher cost
-    even when this loop runs concurrently with device compute.
+    processing items in THIS loop, excluding queue waits — the sequential
+    host-matcher cost even when it runs concurrently with device compute.
+    Pool-built slices add their construction time under ``build_s``.
     """
     import time
+    from concurrent.futures import Future
 
     while True:
         pan_seg = in_queue.get()
@@ -96,18 +120,15 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
             continue
         if isinstance(pan_seg, str):
             break
-        t0 = time.perf_counter()
-        if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
-            _, (values, rows, cs, ce), width = pan_seg
-            rle_seg = runs_to_rle_seg(
-                values, rows, cs, ce, width,
-                labels, label_divisor, thing_list, force_connected=force_connected,
-            )
+        if isinstance(pan_seg, Future):
+            rle_seg, dt = pan_seg.result()
+            if stats is not None:
+                stats["build_s"] = stats.get("build_s", 0.0) + dt
+            t0 = time.perf_counter()
         else:
-            rle_seg = pan_seg_to_rle_seg(
-                np.asarray(pan_seg), labels, label_divisor, thing_list,
-                force_connected=force_connected,
-            )
+            t0 = time.perf_counter()
+            rle_seg = build_rle_seg(pan_seg, labels, label_divisor,
+                                    thing_list, force_connected)
         rle_seg = apply_matchers(rle_seg, matchers)
         rle_stack.append(rle_seg)
         if stats is not None:
@@ -118,17 +139,40 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
 class MatcherWorker:
     """Thread running forward_matching concurrently with device inference.
 
+    Slice-order matching is inherently sequential, but per-slice rle_seg
+    construction (connected components + RLE grouping — the expensive half
+    at EM instance densities) is not: ``put`` farms construction out to a
+    small thread pool and enqueues ordered futures, so the matcher loop
+    only pays ``apply_matchers`` per slice.  The C++ kernels underneath
+    (extract_runs, union-find CC) release the GIL, so pool workers scale.
+
     A failure inside the thread (e.g. a device error surfacing at the
     ``np.asarray`` fetch of an enqueued device map) must not deadlock the
     producer: the worker keeps draining the bounded queue after an error so
     ``put`` never blocks forever, and ``finish`` re-raises the exception."""
 
     def __init__(self, matchers, labels, label_divisor, thing_list,
-                 maxsize: int = 8, force_connected: bool = True):
+                 maxsize: int = 8, force_connected: bool = True,
+                 build_workers: int | None = None):
+        import os
+
         self.queue = queue.Queue(maxsize=maxsize)
         self.rle_stack = []
         self.error = None
-        self.stats = {"busy_s": 0.0}  # host-matcher busy time (excl. waits)
+        # busy_s: sequential matcher-loop cost; build_s: summed parallel
+        # seg-construction cost (wall overlap makes these non-additive)
+        self.stats = {"busy_s": 0.0, "build_s": 0.0}
+        if build_workers is None:
+            build_workers = min(3, max(1, (os.cpu_count() or 4) - 2))
+        self._pool = None
+        if build_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=build_workers,
+                thread_name_prefix="segbuild",
+            )
+        self._build_args = (labels, label_divisor, thing_list, force_connected)
         self._thread = threading.Thread(target=self._run, args=(
             matchers, labels, label_divisor, thing_list, force_connected),
             daemon=True)
@@ -148,12 +192,27 @@ class MatcherWorker:
                 if isinstance(item, str):
                     break
 
+    def _build(self, pan_seg):
+        import time
+
+        labels, label_divisor, thing_list, force_connected = self._build_args
+        t0 = time.perf_counter()
+        rle_seg = build_rle_seg(pan_seg, labels, label_divisor, thing_list,
+                                force_connected)
+        return rle_seg, time.perf_counter() - t0
+
     def put(self, pan_seg):
-        self.queue.put(pan_seg)
+        if self._pool is not None and pan_seg is not None \
+                and not isinstance(pan_seg, str):
+            self.queue.put(self._pool.submit(self._build, pan_seg))
+        else:
+            self.queue.put(pan_seg)
 
     def finish(self):
         self.queue.put(FINISH)
         self._thread.join()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
         if self.error is not None:
             raise RuntimeError("matcher worker failed") from self.error
         return self.rle_stack

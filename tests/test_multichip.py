@@ -83,6 +83,27 @@ class TestStreamedEquivalence:
 
         assert _tracker_sets(ref_trackers) == _tracker_sets(mc_trackers)
 
+    def test_resident_matches_streamed(self, tiny_model_and_variables, cfg):
+        """Device-resident volume mode (one upload, in-jit slicing with
+        edge-padded tails) segments identically to the host-streamed path
+        (per-batch uploads, tail padded with last-slice copies) — including
+        on a non-multiple-of-batch depth so the tail semantics are hit."""
+        model, variables = tiny_model_and_variables
+        vol = np.stack(
+            [make_blob_image((64, 64), n_blobs=4, seed=s) for s in range(21)]
+        )
+
+        results = {}
+        for resident in (False, True):
+            eng = MultiChipEngine3d(
+                cfg, median_kernel_size=3, min_size=10, min_extent=1,
+                max_centers=64, model_and_variables=(model, variables),
+                volume_resident=resident,
+            )
+            _, trackers = eng.infer_on_axis(vol, "xy")
+            results[resident] = _tracker_sets(trackers)
+        assert results[True] == results[False]
+
     def test_memory_is_bounded_in_depth(self, tiny_model_and_variables, cfg):
         """256-slice stack: resident sem batches stay at 2K+1, independent
         of stack depth (previously the whole volume's probability stacks
