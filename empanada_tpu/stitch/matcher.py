@@ -108,6 +108,80 @@ def _merge_groups(groups: dict) -> dict:
     return rd
 
 
+def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
+                      inverse) -> RleDict:
+    """Merge collision groups straight from the flat form.
+
+    ``new_labels[i]`` is instance i's destination label; ``uniq/first_idx/
+    inverse`` come from ``np.unique(new_labels, ...)``.  Output order is
+    first occurrence (downstream consumers paint overlapping instances in
+    dict iteration order).  One native batched union covers ALL groups —
+    single-member groups round-trip unchanged because an instance's runs
+    are already canonical (sorted, disjoint).
+    """
+    from empanada_tpu.core import native
+
+    # group order = first appearance in match iteration order
+    rank_order = np.argsort(first_idx)            # unique idx -> ordered rank
+    grp_rank = np.empty(len(uniq), dtype=np.int64)
+    grp_rank[rank_order] = np.arange(len(uniq))
+    member_rank = grp_rank[inverse]               # per member
+    member_order = np.argsort(member_rank, kind="stable")
+    labels_ordered = uniq[rank_order].astype(np.int64, copy=False)
+    sizes = np.bincount(member_rank, minlength=len(uniq))
+
+    if not native.available():
+        # numpy fallback: per-group merge (k-way union)
+        off = mf.offsets
+        out = RleDict()
+        for gi, lbl in enumerate(labels_ordered.tolist()):
+            members = member_order[
+                int(sizes[:gi].sum()): int(sizes[: gi + 1].sum())]
+            attrs = [
+                {"box": tuple(mf.boxes[k].tolist()),
+                 "starts": mf.starts[off[k]: off[k + 1]],
+                 "runs": mf.runs[off[k]: off[k + 1]]}
+                for k in members.tolist()
+            ]
+            out[lbl] = attrs[0] if len(attrs) == 1 else merge_attrs_many(attrs)
+        out._flat = FlatInstances.from_dict(out)
+        return out
+
+    # gather member run segments in group order (vectorized variable-length
+    # segment gather)
+    lens = np.diff(mf.offsets)
+    seg_starts = mf.offsets[:-1][member_order]
+    seg_lens = lens[member_order]
+    total = int(seg_lens.sum())
+    out_off_members = np.concatenate([[0], np.cumsum(seg_lens)])
+    idx = (np.arange(total)
+           - np.repeat(out_off_members[:-1], seg_lens)
+           + np.repeat(seg_starts, seg_lens))
+    s = mf.starts[idx]
+    ranges = np.stack([s, s + mf.runs[idx]], axis=1)
+
+    member_bounds = np.concatenate([[0], np.cumsum(sizes)])
+    group_offsets = out_off_members[member_bounds]
+    merged, out_offsets = native.batch_range_union(ranges, group_offsets)
+
+    # per-group enclosing boxes via reduceat (no per-group Python calls)
+    boxes_m = mf.boxes[member_order]
+    nd = boxes_m.shape[1] // 2
+    starts_at = member_bounds[:-1]
+    gboxes = np.concatenate(
+        [np.minimum.reduceat(boxes_m[:, :nd], starts_at, axis=0),
+         np.maximum.reduceat(boxes_m[:, nd:], starts_at, axis=0)],
+        axis=1,
+    )
+
+    flat = FlatInstances(
+        labels_ordered, gboxes, out_offsets,
+        np.ascontiguousarray(merged[:, 0]),
+        np.ascontiguousarray(merged[:, 1] - merged[:, 0]),
+    )
+    return flat.to_dict()
+
+
 def _bounding_box(boxes: np.ndarray) -> tuple:
     """Smallest box enclosing all rows of an (n, 2*nd) box array."""
     nd = boxes.shape[1] // 2
@@ -338,6 +412,7 @@ def _sparse_assignment(iou_matrix):
 
     n1, n2 = iou_matrix.shape
     rows, cols = np.nonzero(iou_matrix)
+    vals = iou_matrix[rows, cols]
     adj = csr_matrix(
         (np.ones(2 * len(rows), dtype=np.int8),
          (np.concatenate([rows, cols + n1]), np.concatenate([cols + n1, rows]))),
@@ -345,18 +420,35 @@ def _sparse_assignment(iou_matrix):
     )
     n_comp, comp = connected_components(adj, directed=False)
 
-    out_rows, out_cols = [], []
-    for c in range(n_comp):
-        members = np.flatnonzero(comp == c)
-        r = members[members < n1]
-        k = members[members >= n1] - n1
-        if len(r) == 0 or len(k) == 0:
-            continue
-        sub_r, sub_c = linear_sum_assignment(iou_matrix[np.ix_(r, k)], maximize=True)
-        out_rows.append(r[sub_r])
-        out_cols.append(k[sub_c])
-    if not out_rows:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # components where one side has a single node need no Hungarian solve:
+    # at most one pair can be used, so the max-value edge IS the optimal
+    # assignment — and that's the vast majority of components at EM
+    # densities (vectorized here; the Python LSA loop cost ~7 ms/slice)
+    rows_per = np.bincount(comp[:n1], minlength=n_comp)
+    cols_per = np.bincount(comp[n1:], minlength=n_comp)
+    edge_comp = comp[rows]
+    order_cv = np.lexsort((vals, edge_comp))   # by comp, then value asc
+    e_bounds = np.searchsorted(edge_comp[order_cv], np.arange(n_comp + 1))
+    has_edge = e_bounds[1:] > e_bounds[:-1]
+    best_edge = np.full(n_comp, -1, dtype=np.int64)
+    best_edge[has_edge] = order_cv[e_bounds[1:][has_edge] - 1]
+    single = (np.minimum(rows_per, cols_per) == 1) & has_edge
+
+    out_rows = [rows[best_edge[single]]]
+    out_cols = [cols[best_edge[single]]]
+
+    multi = np.flatnonzero((rows_per > 1) & (cols_per > 1))
+    if len(multi):
+        order = np.argsort(comp, kind="stable")
+        bounds = np.searchsorted(comp[order], np.arange(n_comp + 1))
+        for c in multi:
+            members = order[bounds[c]: bounds[c + 1]]
+            r = members[members < n1]
+            k = members[members >= n1] - n1
+            sub_r, sub_c = linear_sum_assignment(
+                iou_matrix[np.ix_(r, k)], maximize=True)
+            out_rows.append(r[sub_r])
+            out_cols.append(k[sub_c])
     return np.concatenate(out_rows), np.concatenate(out_cols)
 
 
@@ -414,6 +506,44 @@ class RLEMatcher:
         self.target_rle = instance_rles
         self._target_flat = None
 
+    def _new_labels(self, tf, mf, matched_labels, target_labels, ioa_matrix):
+        """Vectorized destination label per match instance (the per-instance
+        Python loop cost ~3 ms/slice at EM densities)."""
+        n = len(mf)
+        new_labels = np.empty(n, dtype=np.int64)
+
+        tl_m, ml_m = matched_labels
+        if len(ml_m):
+            order = np.argsort(ml_m)
+            pos = np.clip(np.searchsorted(ml_m[order], mf.labels), 0,
+                          len(ml_m) - 1)
+            is_matched = ml_m[order][pos] == mf.labels
+            new_labels[is_matched] = np.asarray(tl_m, dtype=np.int64)[order][
+                pos[is_matched]]
+        else:
+            is_matched = np.zeros(n, dtype=bool)
+
+        # per-column IoA decisions vectorized once (a per-instance
+        # column .max()/.argmax() loop costs ~50 ms/pass at EM densities)
+        if ioa_matrix is not None and ioa_matrix.size:
+            col_max = ioa_matrix.max(axis=0)
+            col_arg = ioa_matrix.argmax(axis=0)
+            # false split: absorb into the most-overlapping target
+            absorb = ~is_matched & (col_max >= self.merge_ioa_thr)
+            new_labels[absorb] = np.asarray(target_labels, dtype=np.int64)[
+                col_arg[absorb]]
+        else:
+            absorb = np.zeros(n, dtype=bool)
+
+        fresh = ~is_matched & ~absorb
+        n_fresh = int(fresh.sum())
+        if self.assign_new:
+            new_labels[fresh] = self.next_label + np.arange(n_fresh)
+            self.next_label += n_fresh
+        else:
+            new_labels[fresh] = mf.labels[fresh]
+        return new_labels
+
     def __call__(self, match_instance_rle: dict, update_target: bool = True) -> dict:
         assert self.target_rle is not None, "Initialize target rle before running!"
 
@@ -425,56 +555,27 @@ class RLEMatcher:
         matched_labels, all_labels, _, ioa_matrix = rle_matcher_flat(
             tf, mf, self.merge_iou_thr, return_ioa=True
         )
-        target_labels, match_labels = all_labels
-        label_matches = {ml: tl for tl, ml in zip(matched_labels[0], matched_labels[1])}
+        target_labels = all_labels[0]
+        new_labels = self._new_labels(tf, mf, matched_labels, target_labels,
+                                      ioa_matrix)
 
-        # per-column IoA decisions vectorized once (a per-instance
-        # column .max()/.argmax() loop costs ~50 ms/pass at EM densities)
-        if ioa_matrix is not None and ioa_matrix.size:
-            col_max = ioa_matrix.max(axis=0).tolist()
-            col_arg = ioa_matrix.argmax(axis=0).tolist()
+        uniq, first_idx, inverse = np.unique(
+            new_labels, return_index=True, return_inverse=True
+        )
+        if len(uniq) == len(new_labels):
+            # relabel-only (no collisions): reuse the match flat arrays
+            # verbatim, skipping all merge work
+            flat = FlatInstances(new_labels, mf.boxes, mf.offsets,
+                                 mf.starts, mf.runs)
+            flat._areas = mf._areas
+            matched_rles = flat.to_dict()
         else:
-            col_max = [0.0] * len(match_instance_rle)
-            col_arg = [0] * len(match_instance_rle)
-
-        # group instances by destination label first, then merge each
-        # collision group in ONE pass (incremental pairwise merge_attrs
-        # cost ~70 us/call of numpy+ctypes overhead and dominated the
-        # host matcher at EM instance densities)
-        groups: dict = {}
-        collisions = False
-        for i, (ml, mattrs) in enumerate(match_instance_rle.items()):
-            if ml in label_matches:
-                new_label = label_matches[ml]
-            else:
-                if col_max[i] >= self.merge_ioa_thr:
-                    # false split: absorb into the most-overlapping target
-                    new_label = target_labels[col_arg[i]]
-                elif self.assign_new:
-                    new_label = self.next_label
-                    self.next_label += 1
-                else:
-                    new_label = ml
-            if new_label in groups:
-                collisions = True
-                groups[new_label].append(mattrs)
-            else:
-                groups[new_label] = [mattrs]
-
-        if not collisions:
-            # relabel-only: reuse the match flat arrays verbatim (group
-            # order == match iteration order when every group is a
-            # singleton), skipping all merge work
-            matched_rles = RleDict(
-                (lbl, attrs[0]) for lbl, attrs in groups.items()
-            )
-            matched_rles._flat = FlatInstances(
-                np.fromiter(groups.keys(), dtype=np.int64, count=len(groups)),
-                mf.boxes, mf.offsets, mf.starts, mf.runs,
-            )
-            matched_rles._flat._areas = mf._areas
-        else:
-            matched_rles = _merge_groups(groups)
+            # collision groups merged in ONE batched native union over ALL
+            # groups (single-member groups pass through: their runs are
+            # already canonical), with boxes reduced per group — no
+            # per-group Python loop
+            matched_rles = _merge_collisions(mf, new_labels, uniq,
+                                             first_idx, inverse)
 
         if update_target:
             self.update_target(matched_rles)
