@@ -346,14 +346,12 @@ class Engine2d:
             size = image.shape
             image = resize_by_factor(image, self.inference_scale)
             prep = self.preprocessor(image)["image"][0]  # (H, W) float
-            pan_seg = self.spatial_engine(prep)
-            # scale > 1: nearest upsample of the low-res panoptic map (the
-            # render ladder's extra PointRend steps are not re-run here)
-            if self.inference_scale > 1:
-                pan_seg = np.kron(pan_seg, np.ones(
-                    (self.inference_scale, self.inference_scale),
-                    dtype=pan_seg.dtype,
-                ))[: size[0], : size[1]]
+            # scale > 1 runs the same extra PointRend render steps as the
+            # unsharded path (engines.py _forward_out), so the full-res map
+            # is ladder-refined, not nearest-upsampled
+            pan_seg = self.spatial_engine(
+                prep, upsampling=self.inference_scale
+            )[: size[0], : size[1]]
             return self.force_connected(pan_seg.astype(np.int64))
 
         if self.tile_size > 0 and any(s > self.tile_size for s in image.shape):

@@ -27,6 +27,16 @@ import numpy as np
 
 from empanada_tpu.ops import postprocess as pp
 
+
+@partial(jax.jit, static_argnames=("hw",))
+def _resize_logits(logits, hw):
+    """Bilinear logits upsample to a target (H, W) — the reference's
+    F.interpolate(..., align_corners=True) for non-PointRend models at
+    upsampling > 1."""
+    from empanada_tpu.ops.interpolate import bilinear_resize
+
+    return bilinear_resize(logits, hw, align_corners=True)
+
 __all__ = [
     "MedianQueue",
     "PanopticDeepLabEngine",
@@ -281,12 +291,21 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         self._merge = _merge
         self._post = _post
 
-    def infer(self, image: jnp.ndarray, render_steps: int = 2) -> dict:
+    def infer(self, image: jnp.ndarray, render_steps: int = 2,
+              out_hw=None) -> dict:
         out = self._forward(
             self.variables, image,
             render_steps=render_steps,
             interpolate_ins=not self.coarse_boundaries,
         )
+        # plain (non-PointRend) models ignore render_steps and emit sem at
+        # input resolution; at upsampling > 1 the reference interpolates the
+        # logits to target resolution (engines.py F.interpolate,
+        # align_corners=True) — match that so scale > 1 works for every arch
+        if out_hw is not None and tuple(out["sem_logits"].shape[1:3]) != tuple(out_hw):
+            out["sem_logits"] = _resize_logits(
+                out["sem_logits"], (int(out_hw[0]), int(out_hw[1]))
+            )
         out["sem"] = pp.logits_to_prob(out["sem_logits"])
         return out
 
@@ -334,7 +353,9 @@ class PanopticDeepLabRenderEngine(_EngineBase):
         render_steps = 2 + log2(upsampling); records the crop size."""
         assert math.log2(upsampling).is_integer(), "Upsampling factor not log base 2!"
         x = self._prepare(image)
-        out = self.infer(x, render_steps=int(2 + math.log2(upsampling)))
+        u = int(upsampling)
+        out = self.infer(x, render_steps=int(2 + math.log2(u)),
+                         out_hw=(x.shape[1] * u, x.shape[2] * u))
         out["size"] = tuple(size)
         return out
 

@@ -239,41 +239,65 @@ class SpatialEngine2d:
         self._build()
 
     def _build(self):
+        import math
+
         n = self.mesh.devices.size
         axis = list(self.mesh.axis_names)[0]
 
-        @jax.jit
-        def _run(variables, image):
+        @partial(jax.jit, static_argnames=("upsampling",))
+        def _run(variables, image, upsampling=1):
+            # same render contract as the unsharded engine
+            # (engines.py _forward_out): extra PointRend steps recover full
+            # resolution from a downsampled input, so scale > 1 output is
+            # refined by the ladder, not nearest-upsampled
+            render_steps = int(2 + math.log2(upsampling))
             out = spatial_sharded_forward(
                 self.model, variables, image, self.mesh, self.halo, axis,
-                render_steps=2, interpolate_ins=not self.coarse_boundaries,
+                render_steps=render_steps,
+                interpolate_ins=not self.coarse_boundaries,
             )
             from empanada_tpu.ops import postprocess as pp
+            from empanada_tpu.ops.interpolate import bilinear_resize
 
+            # plain (non-PointRend) models ignore render_steps; interpolate
+            # the logits to target resolution like the unsharded engine
+            # (engines.py _resize_logits) so scale > 1 works for every arch
+            want = (image.shape[1] * upsampling, image.shape[2] * upsampling)
+            if tuple(out["sem_logits"].shape[1:3]) != want:
+                out["sem_logits"] = bilinear_resize(
+                    out["sem_logits"], want, align_corners=True
+                )
             sem = pp.logits_to_prob(out["sem_logits"])
             cells = pp.get_instance_cells(
-                out["ctr_hmp"], out["offsets"], self.coarse_boundaries, 1,
-                self.nms_threshold, self.nms_kernel, self.max_centers,
-                keep_coarse=True,
+                out["ctr_hmp"], out["offsets"], self.coarse_boundaries,
+                upsampling, self.nms_threshold, self.nms_kernel,
+                self.max_centers, keep_coarse=True,
             )
             sem_h = pp.harden_seg(sem, self.confidence_thr)
             # coarse-grid merge: exact, ~16x less one-hot HBM traffic
+            step = int(upsampling) * (4 if self.coarse_boundaries else 1)
             pan = pp.merge_semantic_and_instance_coarse(
                 sem_h, cells, self.label_divisor, self.thing_list,
                 self.stuff_area, self.void_label, self.num_classes,
-                self.max_centers, step=4 if self.coarse_boundaries else 1,
+                self.max_centers, step=step,
             )
             return pan
 
         self._run = _run
         self._block_multiple = n * self.padding_factor
 
-    def __call__(self, image) -> "np.ndarray":
+    def __call__(self, image, upsampling: int = 1) -> "np.ndarray":
+        import math
+
         import numpy as np
 
+        assert math.log2(upsampling).is_integer(), \
+            "Upsampling factor not log base 2!"
         h, w = image.shape
         pad_h = (-h) % self._block_multiple
         pad_w = (-w) % self.padding_factor
         x = np.pad(np.asarray(image, np.float32), ((0, pad_h), (0, pad_w)))
-        pan = self._run(self.variables, jnp.asarray(x)[None, ..., None])
-        return np.asarray(pan[0, :h, :w])
+        pan = self._run(self.variables, jnp.asarray(x)[None, ..., None],
+                        upsampling=int(upsampling))
+        up = int(upsampling)
+        return np.asarray(pan[0, : h * up, : w * up])
