@@ -192,9 +192,43 @@ def cmd_infer2d(args):
     print(f"wrote {args.output}: {pan.shape}, {n} instances")
 
 
+def _init_multihost(args):
+    """Multi-host launch: ``--coordinator/--num-processes/--process-id`` (or
+    the ``EMPANADA_COORDINATOR``/``EMPANADA_NUM_PROCESSES``/
+    ``EMPANADA_PROCESS_ID`` env vars) initialize ``jax.distributed`` BEFORE
+    any engine or mesh touches the backend, so ``jax.devices()`` spans all
+    hosts and the same mesh-sharded code runs unchanged.  This is the CLI
+    surface of the reference's TCP-rendezvous launcher
+    (``empanada_napari/multigpu.py:222-226``); on TPU pods the arguments
+    are auto-detected and none of this is needed."""
+    coord = getattr(args, "coordinator", None) or os.environ.get(
+        "EMPANADA_COORDINATOR")
+    if coord is None:
+        return
+
+    def _arg_or_env(attr, env):
+        val = getattr(args, attr, None)
+        if val is None and os.environ.get(env) is not None:
+            val = int(os.environ[env])
+        return val
+
+    from empanada_tpu.parallel import initialize_multihost
+
+    idx, count = initialize_multihost(
+        coord,
+        num_processes=_arg_or_env("num_processes", "EMPANADA_NUM_PROCESSES"),
+        process_id=_arg_or_env("process_id", "EMPANADA_PROCESS_ID"),
+    )
+    import jax
+
+    print(f"multihost: process {idx}/{count}, "
+          f"{len(jax.devices())} global devices", file=sys.stderr)
+
+
 def cmd_infer3d(args):
     """Repeated --model runs each model over the volume sequentially; each
     model's class volumes are written/stored under its own name."""
+    _init_multihost(args)
     for name in _model_list(args):
         _infer3d_one(args, name, multi=len(_model_list(args)) > 1)
 
@@ -274,6 +308,7 @@ def cmd_train(args):
     from empanada_tpu.api import load_config
     from empanada_tpu.train import main as train_main
 
+    _init_multihost(args)
     config = load_config(args.config)
     if getattr(args, "multichip", False):
         config.setdefault("TRAIN", {})["multichip"] = True
@@ -474,6 +509,18 @@ def build_parser():
         sp.add_argument("--shape-buckets", action="store_true", dest="shape_buckets",
                         help="pad to ~25%%-growth size buckets to bound jit recompiles")
 
+    def multihost_args(sp):
+        sp.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 — initializes "
+                             "jax.distributed so all hosts' devices form one "
+                             "mesh (env: EMPANADA_COORDINATOR)")
+        sp.add_argument("--num-processes", type=int, default=None,
+                        dest="num_processes",
+                        help="total host processes (env: EMPANADA_NUM_PROCESSES)")
+        sp.add_argument("--process-id", type=int, default=None,
+                        dest="process_id",
+                        help="this process's rank (env: EMPANADA_PROCESS_ID)")
+
     sp = sub.add_parser("infer2d", help="2D panoptic inference (tiled for big images)")
     sp.add_argument("image")
     sp.add_argument("-o", "--output", default="pan_seg.npy")
@@ -520,6 +567,7 @@ def build_parser():
                          "stderr is a terminal)")
     sp.add_argument("--no-progress", dest="progress", action="store_false")
     common_infer(sp)
+    multihost_args(sp)
     sp.set_defaults(func=cmd_infer3d)
 
     sp = sub.add_parser("train", help="train from a yaml config")
@@ -529,6 +577,7 @@ def build_parser():
     sp.add_argument("--resume", action="store_true",
                     help="continue from <model_dir>/<model>_checkpoint.msgpack "
                          "(params + optimizer state + epoch)")
+    multihost_args(sp)
     sp.set_defaults(func=cmd_train)
 
     sp = sub.add_parser("finetune", help="finetune a registered model")

@@ -57,12 +57,14 @@ print(f"proc {pid}: multihost OK ({count} processes, 8 global devices)")
 """
 
 
-@pytest.mark.slow
-def test_two_process_distributed(tmp_path):
+def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coordinator = f"127.0.0.1:{port}"
+        return s.getsockname()[1]
+
+
+def _run_two_procs(tmp_path, worker_src, argv_fn, ok_marker, timeout=300):
+    coordinator = f"127.0.0.1:{_free_port()}"
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -71,12 +73,12 @@ def test_two_process_distributed(tmp_path):
     # append, never replace: the axon site dir must stay on PYTHONPATH
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     worker_file = tmp_path / "worker.py"
-    worker_file.write_text(WORKER)
+    worker_file.write_text(worker_src)
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker_file), coordinator, str(pid)],
-            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            [sys.executable, str(worker_file)] + argv_fn(coordinator, pid),
+            env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in (0, 1)
@@ -84,7 +86,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -92,4 +94,91 @@ def test_two_process_distributed(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
-        assert "multihost OK" in out
+        assert ok_marker in out
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    _run_two_procs(
+        tmp_path, WORKER,
+        lambda coord, pid: [coord, str(pid)],
+        "multihost OK",
+    )
+
+
+# CLI-surface multihost (VERDICT r3 #7): the parent builds a tiny model
+# bundle + volume; each worker process ONLY drives
+# ``cli.main(["infer3d", ..., "--coordinator", ...])`` — the flag path must
+# initialize jax.distributed BEFORE any computation touches the backend, so
+# the two processes form one 8-device world and inference completes on
+# both.  This is the CLI analog of the reference's torch.distributed TCP
+# rendezvous (empanada_napari/multigpu.py:222-226).
+CLI_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coordinator, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+import numpy as np
+from empanada_tpu.cli import main
+
+# no jax computation before cli.main: the --coordinator path must win the
+# race to initialize the backend in distributed mode
+main([
+    "infer3d", os.path.join(workdir, "vol.npy"),
+    "-o", os.path.join(workdir, f"seg{pid}_{{class}}.npy"),
+    "--model", os.path.join(workdir, "tiny.yaml"), "--median-slices", "1",
+    "--min-size", "0", "--min-extent", "0",
+    "--coordinator", coordinator, "--num-processes", "2",
+    "--process-id", str(pid),
+])
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+seg = np.load(os.path.join(workdir, f"seg{pid}_mito.npy"))
+vol = np.load(os.path.join(workdir, "vol.npy"))
+assert seg.shape == vol.shape
+print(f"proc {pid}: cli multihost OK")
+"""
+
+
+@pytest.mark.slow
+def test_cli_multihost_infer3d(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    import empanada_tpu.api as api
+    from empanada_tpu.models import create_model
+
+    kwargs = dict(
+        encoder="resnet18", num_classes=1, decoder_channels=32,
+        low_level_channels_project=(16, 8, 4), subdivision_num_points=256,
+    )
+    model = create_model("PanopticDeepLabPR", **kwargs)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    bundle = api.save_model_bundle(
+        str(tmp_path / "tiny"), "PanopticDeepLabPR", kwargs, variables
+    )
+    cfg = {
+        "class_names": {1: "mito"}, "labels": [1], "thing_list": [1],
+        "model": bundle, "padding_factor": 16,
+        "norms": {"mean": 0.5, "std": 0.2},
+    }
+    (tmp_path / "tiny.yaml").write_text(yaml.dump(cfg))
+    rng = np.random.default_rng(0)
+    vol = (rng.random((4, 64, 64)) * 255).astype(np.uint8)
+    np.save(tmp_path / "vol.npy", vol)
+
+    _run_two_procs(
+        tmp_path, CLI_WORKER,
+        lambda coord, pid: [coord, str(pid), str(tmp_path)],
+        "cli multihost OK",
+        timeout=600,
+    )
