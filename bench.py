@@ -63,10 +63,16 @@ def last_measured():
     so a transient infra outage doesn't erase the recorded perf state."""
     import glob
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_num(p):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+                       key=round_num, reverse=True):
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}

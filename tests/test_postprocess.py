@@ -263,34 +263,6 @@ class TestFullPipeline:
         assert (pan[18:28, 18:28] == 1002).all()
 
 
-class TestPallasKernels:
-    """Pallas VMEM gather/scatter kernels (interpret mode on CPU)."""
-
-    def test_point_sample_matches_xla(self, rng):
-        import jax.numpy as jnp
-        from empanada_tpu.ops.interpolate import point_sample
-        from empanada_tpu.ops.pallas_gather import point_sample_vmem
-
-        feats = jnp.asarray(rng.normal(0, 1, (2, 16, 24, 8)), jnp.float32)
-        coords = jnp.asarray(rng.uniform(-0.02, 1.02, (2, 64, 2)), jnp.float32)
-        want = point_sample(feats, coords)
-        got = point_sample_vmem(feats, coords)
-        assert float(jnp.abs(got - want).max()) < 1e-5
-
-    def test_scatter_rows_matches_xla(self, rng):
-        import jax.numpy as jnp
-        from empanada_tpu.ops.pallas_gather import scatter_rows_vmem
-
-        base = jnp.asarray(rng.normal(0, 1, (2, 100, 4)), jnp.float32)
-        idx = jnp.asarray(
-            np.stack([rng.choice(100, 30, replace=False) for _ in range(2)]), jnp.int32
-        )
-        vals = jnp.asarray(rng.normal(0, 1, (2, 30, 4)), jnp.float32)
-        want = base.at[jnp.arange(2)[:, None], idx].set(vals)
-        got = scatter_rows_vmem(base, idx, vals)
-        assert float(jnp.abs(got - want).max()) == 0.0
-
-
 def test_bucket_dim_ladder():
     from empanada_tpu.ops.postprocess import bucket_dim
 
