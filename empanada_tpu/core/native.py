@@ -103,6 +103,17 @@ def _load():
         i64p, i64p, i64p, i64p]
     lib.extract_runs_i64.restype = ctypes.c_int64
 
+    lib.runs_build_flat.argtypes = [
+        i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        i64p, i64p, i64p, i64p, i64p, i64p]
+    lib.runs_build_flat.restype = ctypes.c_int64
+    lib.packed_build_flat.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, i64p, i64p, i64p, i64p, i64p, i64p]
+    lib.packed_build_flat.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -331,6 +342,74 @@ def extract_runs(seg: np.ndarray):
             continue
         # copy out so the cap-sized scratch is not pinned by the views
         return values[:n].copy(), rows[:n].copy(), cs[:n].copy(), ce[:n].copy()
+
+
+def _flat_outputs(cap_runs):
+    labels = np.empty(cap_runs, dtype=np.int64)
+    boxes = np.empty((cap_runs, 4), dtype=np.int64)
+    offsets = np.empty(cap_runs + 1, dtype=np.int64)
+    starts = np.empty(cap_runs, dtype=np.int64)
+    runs = np.empty(cap_runs, dtype=np.int64)
+    return labels, boxes, offsets, starts, runs
+
+
+def runs_build_flat(values, rows, col_starts, col_ends, width: int,
+                    min_id: int, max_id: int, force_connected: bool,
+                    connectivity: int = 8):
+    """Fused class-window filter + (optional) CC + instance grouping +
+    RLE canonicalization over pre-extracted runs (csrc runs_build_flat).
+    Returns (labels, boxes, offsets, starts, runs) arrays — the
+    FlatInstances fields — or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = _as_i64(values)
+    rows = _as_i64(rows)
+    col_starts = _as_i64(col_starts)
+    col_ends = _as_i64(col_ends)
+    n = len(values)
+    labels, boxes, offsets, starts, runs = _flat_outputs(max(n, 1))
+    n_inst = np.zeros(1, dtype=np.int64)
+    n_out = lib.runs_build_flat(
+        _i64p(values), _i64p(rows), _i64p(col_starts), _i64p(col_ends),
+        n, int(width), int(min_id), int(max_id), int(force_connected),
+        int(connectivity), _i64p(labels), _i64p(boxes), _i64p(offsets),
+        _i64p(starts), _i64p(runs), _i64p(n_inst),
+    )
+    k = int(n_inst[0])
+    return (labels[:k].copy(), boxes[:k].copy(), offsets[: k + 1].copy(),
+            starts[:n_out].copy(), runs[:n_out].copy())
+
+
+def packed_build_flat(row_buf: np.ndarray, width: int, min_id: int,
+                      max_id: int, force_connected: bool,
+                      connectivity: int = 8):
+    """runs_build_flat straight off a device-packed per-slice buffer
+    (ops.postprocess.encode_runs_packed layout: (H, 2R+1) int16 rows of
+    [starts | values | count]).  Returns the FlatInstances field tuple,
+    None when native is unavailable, or the string "overflow" when any
+    row exceeded its R-run capacity (caller falls back to the dense map,
+    same contract as core.labeling.decode_runs_packed)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(row_buf, dtype=np.int16)
+    h, twr = buf.shape
+    rcap = (twr - 1) // 2
+    cap = max(int(h * rcap), 1)
+    labels, boxes, offsets, starts, runs = _flat_outputs(cap)
+    n_inst = np.zeros(1, dtype=np.int64)
+    n_out = lib.packed_build_flat(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), h, rcap,
+        int(width), int(min_id), int(max_id), int(force_connected),
+        int(connectivity), _i64p(labels), _i64p(boxes), _i64p(offsets),
+        _i64p(starts), _i64p(runs), _i64p(n_inst),
+    )
+    if n_out == -1:
+        return "overflow"
+    k = int(n_inst[0])
+    return (labels[:k].copy(), boxes[:k].copy(), offsets[: k + 1].copy(),
+            starts[:n_out].copy(), runs[:n_out].copy())
 
 
 def vote_sorted_sets(list_of_ranges, vote_thr: int) -> np.ndarray:

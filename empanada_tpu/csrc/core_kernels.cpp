@@ -575,6 +575,97 @@ static int64_t extract_runs_impl(const T* seg, int64_t h, int64_t w,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Fused per-slice instance construction (the host 3D pipeline's hot build
+// stage, stitch/rle_seg.py runs_to_rle_seg): class-window filter ->
+// optional run-based connected components -> group runs by instance ->
+// canonicalize (merge row-wrap-touching runs) -> FlatInstances arrays.
+// One GIL-released call replaces an argsort + 6 reduceats + mask chain of
+// numpy ops, so the MatcherWorker's seg-build pool scales across cores
+// instead of serializing on the interpreter lock.
+//
+// Semantics mirror labeling.py runs_to_flat exactly (stable grouping by
+// ascending value; boxes from pre-merge run extents; starts are raveled
+// row * width + col); CC relabels to min_id + component with components
+// numbered by first appearance, matching connected_components_runs.
+// ---------------------------------------------------------------------------
+
+static int64_t build_flat_impl(
+    const int64_t* values, const int64_t* rows, const int64_t* cs,
+    const int64_t* ce, int64_t n, int64_t width,
+    int64_t min_id, int64_t max_id, int force_connected, int connectivity,
+    int64_t* out_labels, int64_t* out_boxes, int64_t* out_offsets,
+    int64_t* out_starts, int64_t* out_runs, int64_t* out_n_inst) {
+    // 1) filter to the class window
+    std::vector<int64_t> idx;
+    idx.reserve(n);
+    for (int64_t i = 0; i < n; ++i)
+        if (values[i] >= min_id && values[i] < max_id) idx.push_back(i);
+    const int64_t m = static_cast<int64_t>(idx.size());
+    *out_n_inst = 0;
+    out_offsets[0] = 0;
+    if (m == 0) return 0;
+
+    // 2) effective per-run value: CC component (+ min_id) or the raw value
+    std::vector<int64_t> val(m), row(m), c0(m), c1(m);
+    for (int64_t k = 0; k < m; ++k) {
+        int64_t i = idx[k];
+        val[k] = values[i];
+        row[k] = rows[i];
+        c0[k] = cs[i];
+        c1[k] = ce[i];
+    }
+    if (force_connected && m > 0) {
+        std::vector<int64_t> comp(m);
+        cc_runs(val.data(), row.data(), c0.data(), c1.data(), m,
+                connectivity, comp.data());
+        for (int64_t k = 0; k < m; ++k) val[k] = comp[k] + min_id;
+    }
+
+    // 3) stable order by ascending value (runs stay row-major per value)
+    std::vector<int64_t> order(m);
+    for (int64_t k = 0; k < m; ++k) order[k] = k;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return val[a] < val[b]; });
+
+    // 4) walk groups: box from original extents; canonicalized RLE
+    int64_t n_inst = 0;
+    int64_t n_out = 0;
+    int64_t g = 0;
+    while (g < m) {
+        const int64_t v = val[order[g]];
+        int64_t y1 = INT64_MAX, y2 = INT64_MIN, x1 = INT64_MAX, x2 = INT64_MIN;
+        int64_t group_first_out = n_out;
+        while (g < m && val[order[g]] == v) {
+            const int64_t k = order[g];
+            if (row[k] < y1) y1 = row[k];
+            if (row[k] > y2) y2 = row[k];
+            if (c0[k] < x1) x1 = c0[k];
+            if (c1[k] > x2) x2 = c1[k];
+            const int64_t start = row[k] * width + c0[k];
+            const int64_t len = c1[k] - c0[k];
+            if (n_out > group_first_out &&
+                out_starts[n_out - 1] + out_runs[n_out - 1] == start) {
+                out_runs[n_out - 1] += len;  // touches across the row wrap
+            } else {
+                out_starts[n_out] = start;
+                out_runs[n_out] = len;
+                ++n_out;
+            }
+            ++g;
+        }
+        out_labels[n_inst] = v;
+        out_boxes[4 * n_inst] = y1;
+        out_boxes[4 * n_inst + 1] = x1;
+        out_boxes[4 * n_inst + 2] = y2 + 1;
+        out_boxes[4 * n_inst + 3] = x2;
+        out_offsets[n_inst + 1] = n_out;
+        ++n_inst;
+    }
+    *out_n_inst = n_inst;
+    return n_out;
+}
+
 extern "C" {
 
 int64_t extract_runs_i32(const int32_t* seg, int64_t h, int64_t w, int64_t cap,
@@ -589,6 +680,58 @@ int64_t extract_runs_i64(const int64_t* seg, int64_t h, int64_t w, int64_t cap,
                          int64_t* col_starts, int64_t* col_ends) {
     return extract_runs_impl<int64_t, false>(seg, h, w, cap, values, rows,
                                              col_starts, col_ends);
+}
+
+int64_t runs_build_flat(
+    const int64_t* values, const int64_t* rows, const int64_t* cs,
+    const int64_t* ce, int64_t n, int64_t width,
+    int64_t min_id, int64_t max_id, int force_connected, int connectivity,
+    int64_t* out_labels, int64_t* out_boxes, int64_t* out_offsets,
+    int64_t* out_starts, int64_t* out_runs, int64_t* out_n_inst) {
+    return build_flat_impl(values, rows, cs, ce, n, width, min_id, max_id,
+                           force_connected, connectivity, out_labels,
+                           out_boxes, out_offsets, out_starts, out_runs,
+                           out_n_inst);
+}
+
+// Packed variant: decodes ops.postprocess.encode_runs_packed rows
+// ([starts(R) | values(R) | count] int16 per image row, values stored
+// unsigned) straight into the builder — the drainer hands the raw device
+// buffer to the seg-build pool and Python never touches the runs.
+// Returns -1 when any row overflowed its R-run capacity (caller falls
+// back to the dense map path, same contract as decode_runs_packed).
+int64_t packed_build_flat(
+    const int16_t* packed, int64_t h, int64_t rcap, int64_t width,
+    int64_t min_id, int64_t max_id, int force_connected, int connectivity,
+    int64_t* out_labels, int64_t* out_boxes, int64_t* out_offsets,
+    int64_t* out_starts, int64_t* out_runs, int64_t* out_n_inst) {
+    std::vector<int64_t> val, row, c0, c1;
+    val.reserve(h * 8);
+    row.reserve(h * 8);
+    c0.reserve(h * 8);
+    c1.reserve(h * 8);
+    const int64_t stride = 2 * rcap + 1;
+    for (int64_t y = 0; y < h; ++y) {
+        const int16_t* buf = packed + y * stride;
+        const int64_t count = buf[2 * rcap];
+        if (count > rcap) return -1;
+        for (int64_t k = 0; k < count; ++k) {
+            const int64_t v =
+                static_cast<int64_t>(static_cast<uint16_t>(buf[rcap + k]));
+            if (v == 0) continue;  // background run (still delimits ends)
+            const int64_t start = buf[k];
+            const int64_t end = (k + 1 < count) ? buf[k + 1] : width;
+            val.push_back(v);
+            row.push_back(y);
+            c0.push_back(start);
+            c1.push_back(end);
+        }
+    }
+    return build_flat_impl(val.data(), row.data(), c0.data(), c1.data(),
+                           static_cast<int64_t>(val.size()), width, min_id,
+                           max_id, force_connected, connectivity, out_labels,
+                           out_boxes, out_offsets, out_starts, out_runs,
+                           out_n_inst);
 }
 
 }  // extern "C"

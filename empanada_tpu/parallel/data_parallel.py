@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from empanada_tpu.core.chunked import create_chunked
-from empanada_tpu.core.labeling import decode_runs_packed
 from empanada_tpu.data.volume import VolumeDataset, factor_pad_numpy
 from empanada_tpu.ops import postprocess as pp
 from empanada_tpu.parallel.mesh import create_mesh, data_sharding, replicated
@@ -578,14 +577,18 @@ class MultiChipEngine3d:
                     packed_np = np.asarray(packed)[:n_keep]
                 pans_np = None
                 with timer.stage("host_decode+enqueue"):
+                    # per-slice run-capacity screen (counts column); the
+                    # raw packed rows go straight to the seg-build pool,
+                    # which decodes+builds in one GIL-released native call
+                    rcap = (packed_np.shape[-1] - 1) // 2
+                    over = packed_np[..., -1].max(axis=-1) > rcap
                     for bi, row_buf in enumerate(packed_np):
-                        decoded = decode_runs_packed(row_buf, w)
-                        if decoded is None:
+                        if over[bi]:
                             if pans_np is None:
                                 pans_np = np.asarray(pans_dev)[:n_keep]
                             put(pans_np[bi].astype(np.int64))
                         else:
-                            put(("runs", decoded, w))
+                            put(("packed", row_buf, w))
             else:
                 with timer.stage("fetch"):
                     pans = np.asarray(pans_dev)[:n_keep, :h, :w]

@@ -24,7 +24,11 @@ from empanada_tpu.stitch.consensus import (
     merge_semantic_from_trackers,
 )
 from empanada_tpu.stitch.matcher import RLEMatcher
-from empanada_tpu.stitch.rle_seg import pan_seg_to_rle_seg, runs_to_rle_seg
+from empanada_tpu.stitch.rle_seg import (
+    packed_to_rle_seg,
+    pan_seg_to_rle_seg,
+    runs_to_rle_seg,
+)
 from empanada_tpu.stitch.tracker import InstanceTracker
 
 __all__ = [
@@ -76,12 +80,26 @@ def apply_matchers(rle_seg: dict, matchers) -> dict:
 
 def build_rle_seg(pan_seg, labels, label_divisor, thing_list,
                   force_connected: bool = True):
-    """Construct a per-slice rle_seg from either a dense pan_seg array or a
-    device-compacted ``("runs", (values, rows, cs, ce), width)`` tuple.
+    """Construct a per-slice rle_seg from a dense pan_seg array, a
+    device-compacted ``("runs", (values, rows, cs, ce), width)`` tuple, or a
+    raw packed buffer ``("packed", row_buf, width)`` (the drainer hands the
+    device bytes straight through; decode+CC+grouping happen in ONE
+    GIL-released native call, csrc packed_build_flat).
 
     This is the order-independent half of forward matching (per-slice
     connected components + RLE grouping) — safe to run concurrently across
     slices; only ``apply_matchers`` must see slices in order."""
+    if isinstance(pan_seg, tuple) and pan_seg[0] == "packed":
+        _, row_buf, width = pan_seg
+        rle_seg = packed_to_rle_seg(
+            row_buf, width, labels, label_divisor, thing_list,
+            force_connected=force_connected,
+        )
+        # None = packed-capacity overflow; callers pre-screen counts and
+        # send the dense map instead, so this is defensive
+        if rle_seg is None:
+            raise ValueError("packed slice overflowed its run capacity")
+        return rle_seg
     if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
         _, (values, rows, cs, ce), width = pan_seg
         return runs_to_rle_seg(

@@ -18,7 +18,9 @@ import numpy as np
 
 from empanada_tpu.core import string_to_rle
 from empanada_tpu.core.labeling import (
+    FlatInstances,
     connected_components_runs,
+    decode_runs_packed,
     extract_runs,
     runs_to_regions,
 )
@@ -26,6 +28,7 @@ from empanada_tpu.core.labeling import (
 __all__ = [
     "pan_seg_to_rle_seg",
     "runs_to_rle_seg",
+    "packed_to_rle_seg",
     "rle_seg_to_pan_seg",
     "unpack_rle_attrs",
 ]
@@ -66,32 +69,99 @@ def runs_to_rle_seg(
     ``ops.postprocess.encode_runs_packed`` + ``core.decode_runs_packed``
     produce these directly, so the dense map never crosses the link)."""
     w = width
+    try:
+        from empanada_tpu.core import native
+
+        fast = native.available()
+    except ImportError:
+        fast = False
+
     rle_seg = {}
     for label in labels:
         min_id = label * label_divisor
         max_id = min_id + label_divisor
+        fc = force_connected and label in thing_list
+
+        if fast:
+            # fused filter + CC + group + canonicalize in one GIL-released
+            # native call (csrc runs_build_flat) — bit-identical to the
+            # numpy chain below (tests/test_native_fuzz.py)
+            flat = FlatInstances(*native.runs_build_flat(
+                values, rows, cs, ce, w, min_id, max_id, fc))
+            if fc and len(flat) >= label_divisor:
+                _raise_cc_overflow(label, len(flat), label_divisor)
+            rle_seg[label] = flat.to_dict()
+            continue
+
         sel = (values >= min_id) & (values < max_id)
         v = values[sel]
         r = rows[sel]
         s = cs[sel]
         e = ce[sel]
 
-        if force_connected and label in thing_list and len(v) > 0:
+        if fc and len(v) > 0:
             comp = connected_components_runs(v, r, s, e, connectivity=8)
             if int(comp.max(initial=0)) >= label_divisor:
-                # the reference silently spills ids into the next class's
-                # window here (its cc relabel has no bound check); fail
-                # loudly instead — silent class reassignment is worse
-                raise ValueError(
-                    f"class {label}: {int(comp.max())} connected components "
-                    f"exceed label_divisor={label_divisor}; raise the "
-                    "label divisor"
-                )
+                _raise_cc_overflow(label, int(comp.max()), label_divisor)
             v = comp + min_id
 
         rle_seg[label] = runs_to_regions(v, r, s, e, width=w)
 
     return rle_seg
+
+
+def _raise_cc_overflow(label, n, label_divisor):
+    # the reference silently spills ids into the next class's window here
+    # (its cc relabel has no bound check); fail loudly instead — silent
+    # class reassignment is worse
+    raise ValueError(
+        f"class {label}: {n} connected components exceed "
+        f"label_divisor={label_divisor}; raise the label divisor"
+    )
+
+
+def packed_to_rle_seg(
+    row_buf: np.ndarray,
+    width: int,
+    labels,
+    label_divisor: int,
+    thing_list,
+    force_connected: bool = True,
+):
+    """runs_to_rle_seg straight off a device-packed per-slice buffer
+    (ops.postprocess.encode_runs_packed layout) — the decode never
+    materializes Python-side run arrays when the native lib is present.
+
+    Returns the rle_seg dict, or None when any row overflowed its packed
+    run capacity (caller falls back to the dense map path)."""
+    try:
+        from empanada_tpu.core import native
+
+        fast = native.available()
+    except ImportError:
+        fast = False
+
+    if fast:
+        rle_seg = {}
+        for label in labels:
+            min_id = label * label_divisor
+            fc = force_connected and label in thing_list
+            out = native.packed_build_flat(
+                row_buf, width, min_id, min_id + label_divisor, fc)
+            if out == "overflow":
+                return None
+            flat = FlatInstances(*out)
+            if fc and len(flat) >= label_divisor:
+                _raise_cc_overflow(label, len(flat), label_divisor)
+            rle_seg[label] = flat.to_dict()
+        return rle_seg
+
+    decoded = decode_runs_packed(row_buf, width)
+    if decoded is None:
+        return None
+    v, r, s, e = decoded
+    return runs_to_rle_seg(v, r, s, e, width, labels, label_divisor,
+                           thing_list, force_connected)
 
 
 def rle_seg_to_pan_seg(rle_seg: dict, shape) -> np.ndarray:

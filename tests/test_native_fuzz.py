@@ -215,3 +215,86 @@ def test_chunked_fill_fuzz(tmp_path):
             got2 = fill_chunked("numpy")
         assert np.array_equal(got, dense), seed
         assert np.array_equal(got2, dense), seed
+
+
+def test_build_flat_fuzz():
+    """Fused native build (filter + CC + group + canonicalize,
+    csrc runs_build_flat / packed_build_flat) vs the numpy chain —
+    identical FlatInstances fields required, including the packed-decode
+    and overflow contracts used by the 3D drainer."""
+    from empanada_tpu.core.labeling import (
+        connected_components_runs,
+        decode_runs_packed,
+        extract_runs,
+        runs_to_flat,
+    )
+    from empanada_tpu.stitch.rle_seg import packed_to_rle_seg
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    def numpy_ref(v, r, cs, ce, width, min_id, max_id, fc):
+        sel = (v >= min_id) & (v < max_id)
+        vv, rr, ss, ee = v[sel], r[sel], cs[sel], ce[sel]
+        if fc and len(vv):
+            vv = connected_components_runs(vv, rr, ss, ee, 8) + min_id
+        return runs_to_flat(vv, rr, ss, ee, width)
+
+    def check(got, ref, ctx):
+        gl, gb, go, gs, gr = got
+        assert np.array_equal(gl, ref.labels), ctx
+        assert np.array_equal(gb, ref.boxes), ctx
+        assert np.array_equal(go, ref.offsets), ctx
+        assert np.array_equal(gs, ref.starts), ctx
+        assert np.array_equal(gr, ref.runs), ctx
+
+    for seed in range(40):
+        rng = np.random.default_rng(700 + seed)
+        h, w = int(rng.integers(4, 64)), int(rng.integers(4, 64))
+        seg = np.where(
+            rng.random((h, w)) < rng.uniform(0, 0.4),
+            rng.integers(0, 3, (h, w)) * 1000 + rng.integers(1, 5, (h, w)),
+            0,
+        ).astype(np.int64)
+        v, r, cs, ce = extract_runs(seg)
+        for label in (1, 2):
+            for fc in (False, True):
+                lo, hi = label * 1000, (label + 1) * 1000
+                got = native.runs_build_flat(v, r, cs, ce, w, lo, hi, fc)
+                check(got, numpy_ref(v, r, cs, ce, w, lo, hi, fc),
+                      (seed, label, fc))
+
+    # packed variant incl. the overflow contract
+    for seed in range(40):
+        rng = np.random.default_rng(800 + seed)
+        h, w, rcap = int(rng.integers(4, 40)), int(rng.integers(8, 64)), int(
+            rng.integers(2, 9))
+        buf = np.zeros((h, 2 * rcap + 1), np.int16)
+        for y in range(h):
+            k = int(rng.integers(0, rcap + 1))
+            if rng.random() < 0.05:
+                k = rcap + 1  # overflow marker: count beyond capacity
+            kk = min(k, rcap)
+            starts = np.sort(rng.choice(w, kk, replace=False))
+            buf[y, :kk] = starts
+            buf[y, rcap:rcap + kk] = rng.integers(0, 2200, kk)
+            buf[y, -1] = k
+        decoded = decode_runs_packed(buf, w)
+        got = native.packed_build_flat(buf, w, 1000, 2000, True)
+        if decoded is None:
+            assert got == "overflow", seed
+            assert packed_to_rle_seg(buf, w, [1], 1000, [1]) is None, seed
+            continue
+        ref = numpy_ref(*decoded, w, 1000, 2000, True)
+        check(got, ref, seed)
+        # dict-level wrapper agrees with the numpy fallback wrapper
+        fast = packed_to_rle_seg(buf, w, [1], 1000, [1])
+        with _no_native():
+            slow = packed_to_rle_seg(buf, w, [1], 1000, [1])
+        assert list(fast[1].keys()) == list(slow[1].keys()), seed
+        for key in fast[1]:
+            assert fast[1][key]["box"] == tuple(slow[1][key]["box"]), seed
+            assert np.array_equal(fast[1][key]["starts"],
+                                  slow[1][key]["starts"]), seed
+            assert np.array_equal(fast[1][key]["runs"],
+                                  slow[1][key]["runs"]), seed
