@@ -181,7 +181,11 @@ class MatcherWorker:
         # seg-construction cost (wall overlap makes these non-additive)
         self.stats = {"busy_s": 0.0, "build_s": 0.0}
         if build_workers is None:
-            build_workers = min(3, max(1, (os.cpu_count() or 4) - 2))
+            # <= 3-core hosts: a pool is pure queue/context-switch overhead
+            # (no parallelism to win); build inline in the matcher loop.
+            # The C++ build kernel releases the GIL either way, so on real
+            # multi-core TPU hosts the pool scales across cores.
+            build_workers = min(3, max(0, (os.cpu_count() or 4) - 3))
         self._pool = None
         if build_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
