@@ -554,6 +554,76 @@ def bench_stages(pipeline_batch, variables, images, int8: bool = False):
     return out
 
 
+@_alarm_guard(1500, "bench_spatial")
+def bench_spatial():
+    """Seam-free big-slice inference (the SURVEY north star): one 2048^2
+    slice, one chip.  Compares the spatial-shard path (whole-slice
+    single-dispatch on a 1-device mesh; the SAME code row-shards over N
+    chips with ppermute halo exchange on a pod) against the serial tiled
+    path it replaces — the reference's tile loop + merge_objects_from_tiles
+    (empanada_napari/inference.py:281-318, empanada/consensus.py:526),
+    which our tiled Engine2d path reimplements.  Reports wall time, Mpx/s
+    and device dispatch counts for both; multi-chip sharding structure is
+    validated separately by __graft_entry__.dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+
+    import empanada_tpu.api as api
+    from empanada_tpu.models import create_model
+    from empanada_tpu.parallel.mesh import create_mesh
+
+    side = 2048
+    # sparser blobs than the 3D fixture: a 2048^2 slice at sigma 16 carries
+    # ~1.6k instances (sigma 8 would be ~6k and need an 8k one-hot merge)
+    image = _blob_volume(1, side, side, 16)[0]
+
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **FLAGSHIP_KW)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 512, 512, 1), jnp.float32),
+        train=False,
+    )
+    config = {
+        "model_name": "bench", "class_names": {1: "mito"}, "labels": [1],
+        "thing_list": [1], "norms": {"mean": 0.57, "std": 0.12},
+        "padding_factor": 128, "description": "",
+    }
+    common = dict(nms_kernel=7, confidence_thr=0.5, max_centers=2048,
+                  model_and_variables=(model, variables))
+
+    n_dev = len(jax.devices())
+    sharded = api.Engine2d(
+        config, spatial_shard=True, spatial_halo=128,
+        spatial_mesh=create_mesh(n_dev, axis_name="spatial"), **common,
+    )
+    tiled = api.Engine2d(config, tile_size=512, **common)
+
+    out = {"side": side, "devices": n_dev}
+    for name, eng in (("sharded", sharded), ("tiled", tiled)):
+        eng.infer(image[:512, :512] if name == "tiled" else image)  # warmup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pan = eng.infer(image)
+            best = min(best, time.perf_counter() - t0)
+        n_inst = len(np.unique(pan[(pan >= 1000) & (pan < 2000)]))
+        out[name] = {
+            "wall_s": round(best, 3),
+            "mpx_s": round(side * side / best / 1e6, 1),
+            "instances": int(n_inst),
+        }
+    # device dispatches per slice: tiled = tiles x (forward + postprocess),
+    # sharded = forward + postprocess once for the whole slice
+    from empanada_tpu.stitch.tile import Tiler
+
+    n_tiles = len(Tiler((side, side), tile_size=512,
+                        overlap_width=min(128, int(512 * 0.1))))
+    out["tiled"]["dispatches"] = 2 * n_tiles
+    out["sharded"]["dispatches"] = 2
+    out["speedup_vs_tiled"] = round(
+        out["tiled"]["wall_s"] / out["sharded"]["wall_s"], 2)
+    return out
+
+
 @_alarm_guard(600, "bench_train")
 def bench_train():
     """Jitted train-step throughput (MitoNet_v1 arch, PanopticLoss + AdamW,
@@ -598,7 +668,17 @@ def bench_train():
         return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
 
     dt = device_time(fn, state, batch["image"], iters=8, trials=3, perturb=pert)
-    return b / dt
+
+    # train MFU from XLA's own cost analysis of the jitted step
+    mfu = None
+    try:
+        jitted = jax.jit(fn)
+        flops = float(jitted.lower(state, batch["image"]).compile()
+                      .cost_analysis()["flops"])
+        mfu = round(flops / dt / peak_flops(jax.devices()[0]), 4)
+    except Exception:
+        pass
+    return {"imgs_s": round(b / dt, 1), "mfu": mfu}
 
 
 def main(argv=None):
@@ -609,7 +689,7 @@ def main(argv=None):
                         help="A/B: selective int8 encoder execution "
                              "(s8xs8 MXU convs for wide 3x3s)")
     parser.add_argument("--only", default=None,
-                        choices=["3d", "ortho", "train", "stages"],
+                        choices=["3d", "ortho", "train", "stages", "spatial"],
                         help="run a single secondary bench section and print "
                              "its dict (perf iteration aid; the headline "
                              "JSON line still requires a full run)")
@@ -630,7 +710,7 @@ def main(argv=None):
                                   int8=args.int8)
         else:
             fn = {"3d": bench_3d, "ortho": bench_ortho,
-                  "train": bench_train}[args.only]
+                  "train": bench_train, "spatial": bench_spatial}[args.only]
             result = fn()
         print(json.dumps({args.only: result}))
         return
@@ -707,7 +787,8 @@ def main(argv=None):
     )
     r3d = None if args.skip_3d else bench_3d()
     rortho = None if args.skip_3d else bench_ortho()
-    train_imgs = None if args.skip_3d else bench_train()
+    rspatial = None if args.skip_3d else bench_spatial()
+    rtrain = None if args.skip_3d else bench_train()
 
     baseline = max(BASELINE_CPU_TORCH_MVOX_S, BASELINE_CPU_TORCH_INT8_MVOX_S)
     out = {
@@ -720,16 +801,27 @@ def main(argv=None):
         "mfu": round(mfu, 4) if mfu is not None else None,
         "metric_3d": "3D zarr-stack e2e (MultiChipEngine3d 64x512x512, overflow-free max_centers=512, device+host incl. tunnel transfer)",
         "metric_ortho": "ortho-plane consensus e2e (xy/xz/yz sweeps + graph consensus, 64x256x256, overflow-free, output Mvox/s)",
+        "metric_spatial": "seam-free big-slice (2048^2, spatial-shard single dispatch vs the reference-style serial tile loop, one chip)",
         "metric_train": "train step (PanopticLoss+AdamW bf16, 256^2xB16)",
-        "train_imgs_s": round(train_imgs, 1) if train_imgs is not None else None,
     }
+    if rtrain is not None:
+        out["train_imgs_s"] = rtrain["imgs_s"]
+        out["train_mfu"] = rtrain["mfu"]
     if r3d is not None:
         out["value_3d"] = round(r3d.pop("mvox_s"), 3)
         out["vs_baseline_3d"] = round(out["value_3d"] / baseline, 1)
         out["attribution_3d"] = r3d
     if rortho is not None:
         out["value_ortho"] = round(rortho.pop("mvox_s"), 3)
+        # reference ortho rate, derived: its serial loop re-infers every
+        # voxel once per axis at the 2D slice rate (ortho loop:
+        # _volume_inference.py:336-348), so output-voxel rate = slice rate
+        # / 3 — conservative in the reference's favor (its O(C^2 m^2)
+        # consensus cost is excluded)
+        out["vs_baseline_ortho"] = round(out["value_ortho"] / (baseline / 3), 1)
         out["attribution_ortho"] = rortho
+    if rspatial is not None:
+        out["spatial"] = rspatial
     if stages is not None:
         out["stages_2d"] = stages
     print(json.dumps(out))

@@ -11,7 +11,7 @@ import bench
 from empanada_tpu.utils import device_time
 
 variants = {}
-for mode in ["never", "auto"]:
+for mode in ["never", "always"]:
     import empanada_tpu.models as M
     orig = bench.build
     def build_mode(m=mode):

@@ -85,7 +85,9 @@ def save_forward_state(path: str, rle_stack: list, meta: dict) -> None:
     n_inst = 0
     for z, rle_seg in enumerate(rle_stack):
         for class_id, insts in rle_seg.items():
-            flat = FlatInstances.from_dict(insts)
+            # MatcherWorker streams the flat wire; loaded slices are dicts
+            flat = (insts if isinstance(insts, FlatInstances)
+                    else FlatInstances.from_dict(insts))
             g_slice.append(z)
             g_class.append(int(class_id))
             n_inst += len(flat)

@@ -109,8 +109,9 @@ def _merge_groups(groups: dict) -> dict:
 
 
 def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
-                      inverse) -> RleDict:
-    """Merge collision groups straight from the flat form.
+                      inverse) -> FlatInstances:
+    """Merge collision groups straight from the flat form, returning a
+    FlatInstances (callers build the wire dict only when they need it).
 
     ``new_labels[i]`` is instance i's destination label; ``uniq/first_idx/
     inverse`` come from ``np.unique(new_labels, ...)``.  Output order is
@@ -144,8 +145,7 @@ def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
                 for k in members.tolist()
             ]
             out[lbl] = attrs[0] if len(attrs) == 1 else merge_attrs_many(attrs)
-        out._flat = FlatInstances.from_dict(out)
-        return out
+        return FlatInstances.from_dict(out)
 
     # gather member run segments in group order (vectorized variable-length
     # segment gather)
@@ -174,12 +174,11 @@ def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
         axis=1,
     )
 
-    flat = FlatInstances(
+    return FlatInstances(
         labels_ordered, gboxes, out_offsets,
         np.ascontiguousarray(merged[:, 0]),
         np.ascontiguousarray(merged[:, 1] - merged[:, 0]),
     )
-    return flat.to_dict()
 
 
 def _bounding_box(boxes: np.ndarray) -> tuple:
@@ -452,6 +451,110 @@ def _sparse_assignment(iou_matrix):
     return np.concatenate(out_rows), np.concatenate(out_cols)
 
 
+def _uf_components(n: int, erows, ecols):
+    """Union-find over an edge list; per-node component ids 0..k-1."""
+    parent = list(range(n))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(erows.tolist(), ecols.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, count=n)
+    _, comp = np.unique(roots, return_inverse=True)
+    return comp.astype(np.int64, copy=False)
+
+
+def _assign_edges(n1, n2, erows, ecols, evals, iou_thr):
+    """Exact max-IoU assignment straight from the box-screened edge list —
+    the dense Hungarian decomposed over bipartite connected components
+    (zero cross-component entries never contribute to the maximum), without
+    materializing the n1 x n2 matrix or a scipy csgraph.  Returns
+    (match_rows, match_cols) after the ``iou_thr`` filter.
+
+    This is the RLEMatcher hot path: at EM densities (~365 inst/slice) the
+    dense-matrix route (alloc + np.nonzero + csr + csgraph) costs ~2 ms per
+    slice on the sequential matcher thread; this is ~0.3 ms."""
+    keep = evals > 0
+    erows, ecols, evals = erows[keep], ecols[keep], evals[keep]
+    if len(erows) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    comp = _uf_components(n1 + n2, erows, ecols + n1)
+    n_comp = int(comp.max()) + 1
+    rows_per = np.bincount(comp[:n1], minlength=n_comp)
+    cols_per = np.bincount(comp[n1:], minlength=n_comp)
+
+    edge_comp = comp[erows]
+    order_cv = np.lexsort((evals, edge_comp))   # by comp, then value asc
+    e_bounds = np.searchsorted(edge_comp[order_cv], np.arange(n_comp + 1))
+    has_edge = e_bounds[1:] > e_bounds[:-1]
+    best_edge = np.full(n_comp, -1, dtype=np.int64)
+    best_edge[has_edge] = order_cv[e_bounds[1:][has_edge] - 1]
+    # one-sided components: at most one pair can be used, so the max-value
+    # edge IS the optimal assignment (the vast majority at EM densities)
+    single = (np.minimum(rows_per, cols_per) == 1) & has_edge
+
+    out_rows = [erows[best_edge[single]]]
+    out_cols = [ecols[best_edge[single]]]
+    out_vals = [evals[best_edge[single]]]
+
+    multi = np.flatnonzero((rows_per > 1) & (cols_per > 1))
+    if len(multi):
+        order_e = np.argsort(edge_comp, kind="stable")
+        eb = np.searchsorted(edge_comp[order_e], np.arange(n_comp + 1))
+        node_order = np.argsort(comp, kind="stable")
+        nb = np.searchsorted(comp[node_order], np.arange(n_comp + 1))
+        for c in multi:
+            members = node_order[nb[c]: nb[c + 1]]
+            r = members[members < n1]
+            k = members[members >= n1] - n1
+            es = order_e[eb[c]: eb[c + 1]]
+            sub = np.zeros((len(r), len(k)))
+            sub[np.searchsorted(r, erows[es]),
+                np.searchsorted(k, ecols[es])] = evals[es]
+            sr, sc = linear_sum_assignment(sub, maximize=True)
+            out_rows.append(r[sr])
+            out_cols.append(k[sc])
+            out_vals.append(sub[sr, sc])
+
+    mr = np.concatenate(out_rows)
+    mc = np.concatenate(out_cols)
+    mv = np.concatenate(out_vals)
+    if iou_thr is not None:
+        sel = mv >= iou_thr
+        mr, mc = mr[sel], mc[sel]
+    return mr, mc
+
+
+def _col_max_arg(n2, erows, ecols, evals):
+    """Per-column (max, argmax-row) of an edge-sparse matrix — equal to
+    dense ``.max(axis=0)`` / ``.argmax(axis=0)`` over screened pairs,
+    including first-row-on-ties argmax semantics."""
+    col_max = np.zeros(n2)
+    col_arg = np.zeros(n2, dtype=np.int64)
+    if len(ecols):
+        # within (col, value) ties, rows descending -> the LAST entry per
+        # column group carries the smallest row, matching dense argmax
+        order = np.lexsort((-erows, evals, ecols))
+        b = np.searchsorted(ecols[order], np.arange(n2 + 1))
+        has = b[1:] > b[:-1]
+        last = order[b[1:][has] - 1]
+        col_max[has] = evals[last]
+        col_arg[has] = erows[last]
+    return col_max, col_arg
+
+
 def _assign(iou_matrix, ioa_matrix, labels1, labels2, iou_thr, return_iou, return_ioa):
     # box screening leaves ~1 candidate/instance, so component decomposition
     # (exactly equivalent to the dense solve — zero cross-component entries
@@ -507,39 +610,74 @@ class RLEMatcher:
         if objs:
             self.next_label = max(objs) + 1
 
+    def initialize_target_flat(self, flat: "FlatInstances"):
+        """Flat-wire initialize (no dict materialization on the hot loop)."""
+        self.target_rle = None
+        self._target_flat = flat
+        if len(flat):
+            self.next_label = int(flat.labels.max()) + 1
+
     def update_target(self, instance_rles: dict):
         self.target_rle = instance_rles
         self._target_flat = None
 
-    def _new_labels(self, tf, mf, matched_labels, target_labels, ioa_matrix):
-        """Vectorized destination label per match instance (the per-instance
-        Python loop cost ~3 ms/slice at EM densities)."""
-        n = len(mf)
-        new_labels = np.empty(n, dtype=np.int64)
+    def reset_target(self):
+        self.target_rle = None
+        self._target_flat = None
 
-        tl_m, ml_m = matched_labels
-        if len(ml_m):
-            order = np.argsort(ml_m)
-            pos = np.clip(np.searchsorted(ml_m[order], mf.labels), 0,
-                          len(ml_m) - 1)
-            is_matched = ml_m[order][pos] == mf.labels
-            new_labels[is_matched] = np.asarray(tl_m, dtype=np.int64)[order][
-                pos[is_matched]]
+    def has_target(self) -> bool:
+        return self.target_rle is not None or self._target_flat is not None
+
+    def _target_as_flat(self):
+        tf = self._target_flat
+        if self.target_rle is not None and (
+                tf is None or not flat_matches_dict(tf, self.target_rle)):
+            # dict is authoritative when present (external code may have
+            # mutated it); re-derive and cache
+            tf = FlatInstances.from_dict(self.target_rle)
+            self._target_flat = tf
+        return tf
+
+    def match_flat(self, mf: "FlatInstances",
+                   update_target: bool = True) -> "FlatInstances":
+        """Flat-in/flat-out matching — the 3D pipeline's sequential hot
+        path.  Assignment and the IoA absorb decisions run on the
+        box-screened EDGE LIST (``_assign_edges``/``_col_max_arg``), and the
+        output FlatInstances is handed to the next stage without building
+        the nested wire dict (``__call__`` wraps this for dict consumers)."""
+        tf = self._target_as_flat()
+        assert tf is not None, "Initialize target rle before running!"
+
+        n2 = len(mf)
+        if len(tf) == 0 or n2 == 0:
+            mr = mc = np.empty(0, np.int64)
+            col_max = np.zeros(n2)
+            col_arg = np.zeros(n2, np.int64)
         else:
-            is_matched = np.zeros(n, dtype=bool)
+            box_matches = overlapping_box_pairs(tf.boxes, mf.boxes)
+            if len(box_matches):
+                inters = _batch_intersections_flat(tf, mf, box_matches)
+                r1 = box_matches[:, 0]
+                r2 = box_matches[:, 1]
+                union = tf.areas[r1] + mf.areas[r2] - inters
+                iou = np.where(union > 0, inters / np.maximum(union, 1), 0.0)
+                a2 = mf.areas[r2]
+                ioa = np.where(a2 > 0, inters / np.maximum(a2, 1), 0.0)
+            else:
+                r1 = r2 = np.empty(0, np.int64)
+                iou = ioa = np.empty(0)
+            mr, mc = _assign_edges(len(tf), n2, r1, r2, iou,
+                                   self.merge_iou_thr)
+            col_max, col_arg = _col_max_arg(n2, r1, r2, ioa)
 
-        # per-column IoA decisions vectorized once (a per-instance
-        # column .max()/.argmax() loop costs ~50 ms/pass at EM densities)
-        if ioa_matrix is not None and ioa_matrix.size:
-            col_max = ioa_matrix.max(axis=0)
-            col_arg = ioa_matrix.argmax(axis=0)
-            # false split: absorb into the most-overlapping target
-            absorb = ~is_matched & (col_max >= self.merge_ioa_thr)
-            new_labels[absorb] = np.asarray(target_labels, dtype=np.int64)[
-                col_arg[absorb]]
-        else:
-            absorb = np.zeros(n, dtype=bool)
-
+        new_labels = np.empty(n2, dtype=np.int64)
+        is_matched = np.zeros(n2, dtype=bool)
+        is_matched[mc] = True
+        new_labels[mc] = tf.labels[mr]
+        # false split: absorb unmatched instances into the most-overlapping
+        # target when IoA clears the threshold
+        absorb = ~is_matched & (col_max >= self.merge_ioa_thr)
+        new_labels[absorb] = tf.labels[col_arg[absorb]]
         fresh = ~is_matched & ~absorb
         n_fresh = int(fresh.sum())
         if self.assign_new:
@@ -547,22 +685,6 @@ class RLEMatcher:
             self.next_label += n_fresh
         else:
             new_labels[fresh] = mf.labels[fresh]
-        return new_labels
-
-    def __call__(self, match_instance_rle: dict, update_target: bool = True) -> dict:
-        assert self.target_rle is not None, "Initialize target rle before running!"
-
-        tf = self._target_flat
-        if tf is None or not flat_matches_dict(tf, self.target_rle):
-            tf = FlatInstances.from_dict(self.target_rle)
-        mf = FlatInstances.from_dict(match_instance_rle)
-
-        matched_labels, all_labels, _, ioa_matrix = rle_matcher_flat(
-            tf, mf, self.merge_iou_thr, return_ioa=True
-        )
-        target_labels = all_labels[0]
-        new_labels = self._new_labels(tf, mf, matched_labels, target_labels,
-                                      ioa_matrix)
 
         uniq, first_idx, inverse = np.unique(
             new_labels, return_index=True, return_inverse=True
@@ -570,20 +692,28 @@ class RLEMatcher:
         if len(uniq) == len(new_labels):
             # relabel-only (no collisions): reuse the match flat arrays
             # verbatim, skipping all merge work
-            flat = FlatInstances(new_labels, mf.boxes, mf.offsets,
-                                 mf.starts, mf.runs)
-            flat._areas = mf._areas
-            matched_rles = flat.to_dict()
+            out = FlatInstances(new_labels, mf.boxes, mf.offsets,
+                                mf.starts, mf.runs)
+            out._areas = mf._areas
         else:
             # collision groups merged in ONE batched native union over ALL
             # groups (single-member groups pass through: their runs are
             # already canonical), with boxes reduced per group — no
             # per-group Python loop
-            matched_rles = _merge_collisions(mf, new_labels, uniq,
-                                             first_idx, inverse)
+            out = _merge_collisions(mf, new_labels, uniq, first_idx, inverse)
 
         if update_target:
-            self.update_target(matched_rles)
-            self._target_flat = getattr(matched_rles, "_flat", None)
+            self.target_rle = None
+            self._target_flat = out
+        return out
 
+    def __call__(self, match_instance_rle: dict, update_target: bool = True) -> dict:
+        assert self.has_target(), "Initialize target rle before running!"
+        mf = FlatInstances.from_dict(match_instance_rle)
+        out_flat = self.match_flat(mf, update_target=update_target)
+        matched_rles = out_flat.to_dict()
+        if update_target:
+            # dict consumers keep seeing a dict target (old contract)
+            self.target_rle = matched_rles
+            self._target_flat = out_flat
         return matched_rles

@@ -25,8 +25,10 @@ from empanada_tpu.stitch.consensus import (
 )
 from empanada_tpu.stitch.matcher import RLEMatcher
 from empanada_tpu.stitch.rle_seg import (
+    packed_to_flat_seg,
     packed_to_rle_seg,
     pan_seg_to_rle_seg,
+    runs_to_flat_seg,
     runs_to_rle_seg,
 )
 from empanada_tpu.stitch.tracker import InstanceTracker
@@ -71,11 +73,23 @@ def create_axis_trackers(axes, class_labels, label_divisor, shape):
 def apply_matchers(rle_seg: dict, matchers) -> dict:
     for matcher in matchers:
         class_id = matcher.class_id
-        if matcher.target_rle is None:
+        if not matcher.has_target():
             matcher.initialize_target(rle_seg[class_id])
         else:
             rle_seg[class_id] = matcher(rle_seg[class_id])
     return rle_seg
+
+
+def apply_matchers_flat(flat_seg: dict, matchers) -> dict:
+    """apply_matchers on the flat wire (``{class_id: FlatInstances}``) — no
+    nested dict materialization on the sequential matcher thread."""
+    for matcher in matchers:
+        class_id = matcher.class_id
+        if not matcher.has_target():
+            matcher.initialize_target_flat(flat_seg[class_id])
+        else:
+            flat_seg[class_id] = matcher.match_flat(flat_seg[class_id])
+    return flat_seg
 
 
 def build_rle_seg(pan_seg, labels, label_divisor, thing_list,
@@ -112,6 +126,36 @@ def build_rle_seg(pan_seg, labels, label_divisor, thing_list,
     )
 
 
+def build_flat_seg(pan_seg, labels, label_divisor, thing_list,
+                   force_connected: bool = True) -> dict:
+    """build_rle_seg stopping at the flat wire (``{class_id:
+    FlatInstances}``) — what MatcherWorker streams internally; the nested
+    dict only materializes at serialization boundaries (checkpoints)."""
+    from empanada_tpu.core.labeling import extract_runs
+
+    if isinstance(pan_seg, tuple) and pan_seg[0] == "packed":
+        _, row_buf, width = pan_seg
+        flat_seg = packed_to_flat_seg(
+            row_buf, width, labels, label_divisor, thing_list,
+            force_connected=force_connected,
+        )
+        if flat_seg is None:
+            raise ValueError("packed slice overflowed its run capacity")
+        return flat_seg
+    if isinstance(pan_seg, tuple) and pan_seg[0] == "runs":
+        _, (values, rows, cs, ce), width = pan_seg
+        return runs_to_flat_seg(
+            values, rows, cs, ce, width,
+            labels, label_divisor, thing_list, force_connected=force_connected,
+        )
+    pan_seg = np.asarray(pan_seg)
+    values, rows, cs, ce = extract_runs(pan_seg)
+    return runs_to_flat_seg(
+        values, rows, cs, ce, pan_seg.shape[1],
+        labels, label_divisor, thing_list, force_connected=force_connected,
+    )
+
+
 def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
                      thing_list, force_connected: bool = True, stats=None):
     """Consumer loop: dense pan_seg -> RLE -> forward match -> stack.
@@ -145,9 +189,9 @@ def forward_matching(matchers, in_queue, rle_stack, labels, label_divisor,
             t0 = time.perf_counter()
         else:
             t0 = time.perf_counter()
-            rle_seg = build_rle_seg(pan_seg, labels, label_divisor,
-                                    thing_list, force_connected)
-        rle_seg = apply_matchers(rle_seg, matchers)
+            rle_seg = build_flat_seg(pan_seg, labels, label_divisor,
+                                     thing_list, force_connected)
+        rle_seg = apply_matchers_flat(rle_seg, matchers)
         rle_stack.append(rle_seg)
         if stats is not None:
             stats["busy_s"] = stats.get("busy_s", 0.0) + time.perf_counter() - t0
@@ -219,8 +263,8 @@ class MatcherWorker:
 
         labels, label_divisor, thing_list, force_connected = self._build_args
         t0 = time.perf_counter()
-        rle_seg = build_rle_seg(pan_seg, labels, label_divisor, thing_list,
-                                force_connected)
+        rle_seg = build_flat_seg(pan_seg, labels, label_divisor, thing_list,
+                                 force_connected)
         return rle_seg, time.perf_counter() - t0
 
     def put(self, pan_seg):
@@ -242,14 +286,29 @@ class MatcherWorker:
 
 def backward_matching(rle_stack, matchers, axis_len: int):
     """Generator: reverse pass with assign_new=False, yielding
-    (index, matched rle_seg) per plane."""
+    (index, matched rle_seg) per plane.
+
+    Stack entries may mix wire dicts (checkpoint-loaded slices) and flat
+    segs (MatcherWorker output) per class; matching runs on the flat forms
+    and yields whatever each entry holds — consumers (update_trackers)
+    accept both."""
+    from empanada_tpu.core.labeling import FlatInstances
+
     for matcher in matchers:
-        matcher.target_rle = None
+        matcher.reset_target()
         matcher.assign_new = False
 
     for rev_idx in range(axis_len - 1, -1, -1):
         rle_seg = rle_stack[rev_idx]
-        rle_seg = apply_matchers(rle_seg, matchers)
+        for matcher in matchers:
+            class_id = matcher.class_id
+            entry = rle_seg[class_id]
+            flat = (entry if isinstance(entry, FlatInstances)
+                    else FlatInstances.from_dict(entry))
+            if not matcher.has_target():
+                matcher.initialize_target_flat(flat)
+            else:
+                rle_seg[class_id] = matcher.match_flat(flat)
         yield rev_idx, rle_seg
 
 

@@ -22,13 +22,16 @@ from empanada_tpu.core.labeling import (
     connected_components_runs,
     decode_runs_packed,
     extract_runs,
+    runs_to_flat,
     runs_to_regions,
 )
 
 __all__ = [
     "pan_seg_to_rle_seg",
     "runs_to_rle_seg",
+    "runs_to_flat_seg",
     "packed_to_rle_seg",
+    "packed_to_flat_seg",
     "rle_seg_to_pan_seg",
     "unpack_rle_attrs",
 ]
@@ -68,6 +71,23 @@ def runs_to_rle_seg(
     """pan_seg_to_rle_seg on pre-extracted runs (the device-compaction path:
     ``ops.postprocess.encode_runs_packed`` + ``core.decode_runs_packed``
     produce these directly, so the dense map never crosses the link)."""
+    return {
+        label: flat.to_dict()
+        for label, flat in runs_to_flat_seg(
+            values, rows, cs, ce, width, labels, label_divisor, thing_list,
+            force_connected,
+        ).items()
+    }
+
+
+def runs_to_flat_seg(
+    values, rows, cs, ce, width: int,
+    labels, label_divisor: int, thing_list,
+    force_connected: bool = True,
+) -> dict:
+    """runs_to_rle_seg stopping at the flat form: ``{class_id:
+    FlatInstances}`` — the 3D pipeline's internal wire, which skips nested
+    dict materialization entirely on the matcher hot loop."""
     w = width
     try:
         from empanada_tpu.core import native
@@ -76,7 +96,7 @@ def runs_to_rle_seg(
     except ImportError:
         fast = False
 
-    rle_seg = {}
+    flat_seg = {}
     for label in labels:
         min_id = label * label_divisor
         max_id = min_id + label_divisor
@@ -88,26 +108,21 @@ def runs_to_rle_seg(
             # numpy chain below (tests/test_native_fuzz.py)
             flat = FlatInstances(*native.runs_build_flat(
                 values, rows, cs, ce, w, min_id, max_id, fc))
-            if fc and len(flat) >= label_divisor:
-                _raise_cc_overflow(label, len(flat), label_divisor)
-            rle_seg[label] = flat.to_dict()
-            continue
+        else:
+            sel = (values >= min_id) & (values < max_id)
+            v = values[sel]
+            r = rows[sel]
+            s = cs[sel]
+            e = ce[sel]
+            if fc and len(v) > 0:
+                comp = connected_components_runs(v, r, s, e, connectivity=8)
+                v = comp + min_id
+            flat = runs_to_flat(v, r, s, e, w)
+        if fc and len(flat) >= label_divisor:
+            _raise_cc_overflow(label, len(flat), label_divisor)
+        flat_seg[label] = flat
 
-        sel = (values >= min_id) & (values < max_id)
-        v = values[sel]
-        r = rows[sel]
-        s = cs[sel]
-        e = ce[sel]
-
-        if fc and len(v) > 0:
-            comp = connected_components_runs(v, r, s, e, connectivity=8)
-            if int(comp.max(initial=0)) >= label_divisor:
-                _raise_cc_overflow(label, int(comp.max()), label_divisor)
-            v = comp + min_id
-
-        rle_seg[label] = runs_to_regions(v, r, s, e, width=w)
-
-    return rle_seg
+    return flat_seg
 
 
 def _raise_cc_overflow(label, n, label_divisor):
@@ -134,6 +149,23 @@ def packed_to_rle_seg(
 
     Returns the rle_seg dict, or None when any row overflowed its packed
     run capacity (caller falls back to the dense map path)."""
+    flat_seg = packed_to_flat_seg(row_buf, width, labels, label_divisor,
+                                  thing_list, force_connected)
+    if flat_seg is None:
+        return None
+    return {label: flat.to_dict() for label, flat in flat_seg.items()}
+
+
+def packed_to_flat_seg(
+    row_buf: np.ndarray,
+    width: int,
+    labels,
+    label_divisor: int,
+    thing_list,
+    force_connected: bool = True,
+):
+    """packed_to_rle_seg stopping at the flat form (``{class_id:
+    FlatInstances}``), or None on packed-capacity overflow."""
     try:
         from empanada_tpu.core import native
 
@@ -142,7 +174,7 @@ def packed_to_rle_seg(
         fast = False
 
     if fast:
-        rle_seg = {}
+        flat_seg = {}
         for label in labels:
             min_id = label * label_divisor
             fc = force_connected and label in thing_list
@@ -153,15 +185,15 @@ def packed_to_rle_seg(
             flat = FlatInstances(*out)
             if fc and len(flat) >= label_divisor:
                 _raise_cc_overflow(label, len(flat), label_divisor)
-            rle_seg[label] = flat.to_dict()
-        return rle_seg
+            flat_seg[label] = flat
+        return flat_seg
 
     decoded = decode_runs_packed(row_buf, width)
     if decoded is None:
         return None
     v, r, s, e = decoded
-    return runs_to_rle_seg(v, r, s, e, width, labels, label_divisor,
-                           thing_list, force_connected)
+    return runs_to_flat_seg(v, r, s, e, width, labels, label_divisor,
+                            thing_list, force_connected)
 
 
 def rle_seg_to_pan_seg(rle_seg: dict, shape) -> np.ndarray:

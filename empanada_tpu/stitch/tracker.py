@@ -25,13 +25,16 @@ from empanada_tpu.core import (
     rle_to_string,
     string_to_rle,
 )
-from empanada_tpu.core.labeling import flat_matches_dict
+from empanada_tpu.core.labeling import FlatInstances, flat_matches_dict
 
 __all__ = ["InstanceTracker", "to_box3d"]
 
 
-def _valid_flat(d: dict):
-    """The dict's attached FlatInstances, or None when absent/stale."""
+def _valid_flat(d):
+    """The slice's FlatInstances: the object itself on the flat wire, the
+    dict's attached form (validated) otherwise, None when absent/stale."""
+    if isinstance(d, FlatInstances):
+        return d
     flat = getattr(d, "_flat", None)
     if flat is None or not flat_matches_dict(flat, d):
         return None
