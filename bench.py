@@ -555,7 +555,7 @@ def bench_stages(pipeline_batch, variables, images, int8: bool = False):
 
 
 @_alarm_guard(1500, "bench_spatial")
-def bench_spatial():
+def bench_spatial(side: int = 2048, encoder: str = None):
     """Seam-free big-slice inference (the SURVEY north star): one 2048^2
     slice, one chip.  Compares the spatial-shard path (whole-slice
     single-dispatch on a 1-device mesh; the SAME code row-shards over N
@@ -572,12 +572,14 @@ def bench_spatial():
     from empanada_tpu.models import create_model
     from empanada_tpu.parallel.mesh import create_mesh
 
-    side = 2048
     # sparser blobs than the 3D fixture: a 2048^2 slice at sigma 16 carries
     # ~1.6k instances (sigma 8 would be ~6k and need an 8k one-hot merge)
     image = _blob_volume(1, side, side, 16)[0]
 
-    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **FLAGSHIP_KW)
+    kw = dict(FLAGSHIP_KW)
+    if encoder is not None:  # CPU smoke: resnet18 keeps the drive tractable
+        kw["encoder"] = encoder
+    model = create_model("PanopticDeepLabPR", dtype=jnp.bfloat16, **kw)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.key(0)}, jnp.zeros((1, 512, 512, 1), jnp.float32),
         train=False,
@@ -622,6 +624,60 @@ def bench_spatial():
     out["speedup_vs_tiled"] = round(
         out["tiled"]["wall_s"] / out["sharded"]["wall_s"], 2)
     return out
+
+
+@_alarm_guard(1200, "bench_multimodel")
+def bench_multimodel():
+    """Multi-model panoptic (BASELINE.md config: NucleoNet+DropNet stacked
+    over the same slice).  Two flagship-arch models (independent weights
+    standing in for the two checkpoints) run over one 512^2xB8 batch and
+    combine into a single disjoint-class map (api.combine_panoptic_maps —
+    the reference has no single-map equivalent; its users stack napari
+    layers).  Reports slice Mvox/s through BOTH models + combination."""
+    import jax
+    import jax.numpy as jnp
+
+    from empanada_tpu.api.inference import combine_panoptic_maps
+    from empanada_tpu.utils import device_time
+    from scipy.ndimage import gaussian_filter
+
+    # two independent model instances (same arch; the two reference
+    # checkpoints share it) — device cost is what the bench measures
+    pipes = [build(), build()]
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(0, 1, (BATCH, H, W, 1))
+    raw = np.stack([gaussian_filter(im, (12, 12, 0)) for im in raw])
+    raw = (raw - raw.mean()) / (raw.std() + 1e-6)
+    images = jnp.asarray(raw, jnp.float32)
+
+    def pert(a, i):
+        return (a[0], a[1] + (1e-4 * i).astype(a[1].dtype))
+
+    # both model dispatches measured in one chained device clock
+    def both(v0, x):
+        p0 = pipes[0][0](v0, x)
+        p1 = pipes[1][0](pipes[1][1], x)
+        return p0.sum() + p1.sum()
+
+    dt = device_time(both, pipes[0][1], images, iters=4, trials=2,
+                     perturb=pert)
+
+    # host combination cost on real outputs
+    cfg = {"model_name": "m", "class_names": {1: "a"}, "labels": [1],
+           "thing_list": [1]}
+    pans = [np.asarray(p(v, images)) for p, v in pipes]
+    t0 = time.perf_counter()
+    for b in range(BATCH):
+        combine_panoptic_maps(
+            [pans[0][b], pans[1][b]],
+            [dict(cfg, model_name="nucleo"), dict(cfg, model_name="drop")],
+        )
+    combine_s = time.perf_counter() - t0
+    return {
+        "mvox_s": round(BATCH * H * W / dt / 1e6, 2),
+        "combine_ms_per_slice": round(combine_s / BATCH * 1e3, 2),
+    }
 
 
 @_alarm_guard(600, "bench_train")
@@ -689,7 +745,8 @@ def main(argv=None):
                         help="A/B: selective int8 encoder execution "
                              "(s8xs8 MXU convs for wide 3x3s)")
     parser.add_argument("--only", default=None,
-                        choices=["3d", "ortho", "train", "stages", "spatial"],
+                        choices=["3d", "ortho", "train", "stages", "spatial",
+                                 "multimodel"],
                         help="run a single secondary bench section and print "
                              "its dict (perf iteration aid; the headline "
                              "JSON line still requires a full run)")
@@ -710,7 +767,8 @@ def main(argv=None):
                                   int8=args.int8)
         else:
             fn = {"3d": bench_3d, "ortho": bench_ortho,
-                  "train": bench_train, "spatial": bench_spatial}[args.only]
+                  "train": bench_train, "spatial": bench_spatial,
+                  "multimodel": bench_multimodel}[args.only]
             result = fn()
         print(json.dumps({args.only: result}))
         return
@@ -788,6 +846,7 @@ def main(argv=None):
     r3d = None if args.skip_3d else bench_3d()
     rortho = None if args.skip_3d else bench_ortho()
     rspatial = None if args.skip_3d else bench_spatial()
+    rmulti = None if args.skip_3d else bench_multimodel()
     rtrain = None if args.skip_3d else bench_train()
 
     baseline = max(BASELINE_CPU_TORCH_MVOX_S, BASELINE_CPU_TORCH_INT8_MVOX_S)
@@ -807,6 +866,12 @@ def main(argv=None):
     if rtrain is not None:
         out["train_imgs_s"] = rtrain["imgs_s"]
         out["train_mfu"] = rtrain["mfu"]
+        # r2->r3 drift (1708.7 -> 1469.4 img/s) investigated in r4:
+        # `git diff <r2>..<r3> -- empanada_tpu/train empanada_tpu/models
+        # empanada_tpu/ops` is EMPTY and bench_train itself was unchanged,
+        # so the drop was environmental (dev-tunnel/host state), not code
+        out["train_note"] = ("train path code-identical r2->r3 (git diff "
+                             "empty); r3 drop was measurement environment")
     if r3d is not None:
         out["value_3d"] = round(r3d.pop("mvox_s"), 3)
         out["vs_baseline_3d"] = round(out["value_3d"] / baseline, 1)
@@ -822,6 +887,8 @@ def main(argv=None):
         out["attribution_ortho"] = rortho
     if rspatial is not None:
         out["spatial"] = rspatial
+    if rmulti is not None:
+        out["multimodel"] = rmulti
     if stages is not None:
         out["stages_2d"] = stages
     print(json.dumps(out))

@@ -23,7 +23,6 @@ from empanada_tpu.core.labeling import (
     decode_runs_packed,
     extract_runs,
     runs_to_flat,
-    runs_to_regions,
 )
 
 __all__ = [
