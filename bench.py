@@ -521,7 +521,16 @@ def bench_stages(pipeline_batch, variables, images, int8: bool = False):
         ("heads+render", jax.jit(fwd)),
         ("postprocess", pipeline_batch),
     ]
-    out = {"ridge_flops_per_byte": round(ridge, 1)}
+    out = {
+        "ridge_flops_per_byte": round(ridge, 1),
+        # measured A/B verdict (benchmarks/profile_ab_render.py, re-run under
+        # the r3 overflow-free config): the tile-masked fused Pallas render
+        # kernel loses to the XLA dense-hybrid at K=8192 on <=8K-point grids
+        # (nearly every (16x128) tile holds an uncertain point), so
+        # fused_render stays 'never' on this workload; 'always' remains the
+        # opt-in for concentrated-uncertainty workloads (point_rend.py:215).
+        "render_ab": "xla-hybrid wins at K=8192/512^2; fused kernel off",
+    }
     prev = (0.0, 0.0, 0.0)  # (ms, flops, bytes) of the previous prefix
     total_ms = None
     for name, fn in prefixes:
