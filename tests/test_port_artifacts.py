@@ -303,6 +303,8 @@ def test_checkpoint_with_non_tensor_entries(tmodel, tmp_path):
     arch_i, kw_i = infer_arch_and_kwargs(sd)
     assert arch_i == "PanopticDeepLabPR"
     variables = port_state_dict(sd, arch_i, kw_i)
-    # ported tree is complete: same leaf count as a direct state-dict port
+    # ported tree is exactly the direct state-dict port: both derive from the
+    # same tmodel.state_dict(), so every leaf must match bit-for-bit (a leaf
+    # count alone could hide value/shape corruption in the save/load trip)
     direct = port_state_dict(tmodel.state_dict(), arch_i, kw_i)
-    assert len(jax.tree.leaves(variables)) == len(jax.tree.leaves(direct))
+    jax.tree.map(np.testing.assert_array_equal, variables, direct)
