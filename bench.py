@@ -152,16 +152,21 @@ def build(int8: bool = False):
     thing_list = (1,)
 
     def post_one(sem_l, ctr, off):
-        sem = pp.logits_to_prob(sem_l[None].astype(jnp.float32))
+        # the production per-slice postprocess (RenderEngine._post): logit-
+        # space hardening (no f32 probability map in HBM) + the fused
+        # coarse-grid merge — the instance one-hot contractions run on the
+        # 1/4 grouping grid and the full-res instance map never materializes
+        # (exact; see merge_semantic_and_instance_coarse).  The pre-r5 bench
+        # used the dense merge the engine itself had already abandoned.
+        sem_h = pp.harden_logits(sem_l[None], 0.5)
         cells = pp.get_instance_cells(
             ctr[None].astype(jnp.float32), off[None].astype(jnp.float32),
             coarse_boundaries=True, upsampling=1,
-            threshold=0.1, nms_kernel=7, max_centers=256,
+            threshold=0.1, nms_kernel=7, max_centers=256, keep_coarse=True,
         )
-        sem_h = pp.harden_seg(sem, 0.5)
-        ins = jnp.where(pp._thing_mask(sem_h, thing_list), cells, 0)
-        pan = pp.merge_semantic_and_instance(
-            sem_h, ins, 1000, thing_list, 64, 0, num_classes=2, max_centers=256
+        pan = pp.merge_semantic_and_instance_coarse(
+            sem_h, cells, 1000, thing_list, 64, 0, num_classes=2,
+            max_centers=256, step=4,
         )
         return pan[0]
 

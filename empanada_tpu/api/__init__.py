@@ -20,6 +20,7 @@ from empanada_tpu.api.utils import (
     add_new_model,
     get_configs,
     load_model_bundle,
+    cached_model_path,
     load_model_from_config,
     save_model_bundle,
 )
@@ -32,5 +33,6 @@ __all__ = [
     "stack_postprocessing", "tracker_consensus",
     "MODEL_DIR", "Preprocessor", "add_new_model", "get_configs",
     "load_model_bundle", "load_model_from_config", "save_model_bundle",
+    "cached_model_path",
     "init_model_from_config",
 ]

@@ -92,12 +92,14 @@ def export_serving_artifact(
             variables, x.astype(dtype), train=False,
             render_steps=render_steps, interpolate_ins=not coarse,
         )
-        sem = pp.logits_to_prob(out["sem_logits"])
         cells = pp.get_instance_cells(
             out["ctr_hmp"], out["offsets"], coarse, 1,
             nms_threshold, nms_kernel, max_centers, keep_coarse=True,
         )
-        sem_h = pp.harden_seg(sem, confidence_thr)
+        # logit-space hardening, matching the engine's jitted postprocess
+        # exactly (pp.harden_logits == harden_seg(logits_to_prob(x)) in real
+        # arithmetic; both sides of the parity contract use the same op)
+        sem_h = pp.harden_logits(out["sem_logits"], confidence_thr)
         # coarse-grid merge: bit-exact vs the dense merge given the same
         # hardened sem and grouping ids (tests/test_postprocess.py::
         # TestMergeCoarse), so the engine-parity contract holds

@@ -34,6 +34,7 @@ __all__ = [
     "save_model_bundle",
     "load_model_bundle",
     "load_model_from_config",
+    "cached_model_path",
     "model_info_text",
     "Preprocessor",
     "normalize",
@@ -229,13 +230,82 @@ def load_model_bundle(path: str, dtype=jnp.float32):
     return model, variables
 
 
+def cached_model_path(url: str, cache_dir: str | None = None,
+                      sha256: str | None = None, progress: bool = False) -> str:
+    """Resolve a model URL to a local file in the download cache.
+
+    Mirrors the reference's Zenodo download-and-cache behavior
+    (``empanada_napari/utils.py:80-106``, cache ``~/.empanada``):
+    ``http(s)://`` and ``file://`` URLs are fetched once into
+    ``~/.empanada_tpu/downloads`` (override with ``$EMPANADA_TPU_CACHE`` or
+    ``cache_dir``) and later loads hit the cache with zero network traffic.
+
+    Hardening beyond the reference: the download lands in a temp file and is
+    atomically renamed, so an interrupted transfer can never poison the
+    cache, and an optional ``sha256`` is verified before the rename and
+    re-verified against the actual cached bytes on every hit (a corrupt
+    cached copy is refetched, never served).
+    """
+    import hashlib
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = cache_dir or os.environ.get(
+        "EMPANADA_TPU_CACHE", os.path.join(MODEL_DIR, "downloads")
+    )
+    cache_dir = os.path.expanduser(cache_dir)
+    base = os.path.basename(urllib.parse.urlparse(url).path) or "model.bin"
+    key = hashlib.sha1(url.encode()).hexdigest()[:16]
+    dest = os.path.join(cache_dir, f"{key}-{base}")
+    if os.path.isfile(dest):
+        if sha256 is None:
+            return dest  # offline cache hit (trust-on-first-use, like the
+            # reference's cache, empanada_napari/utils.py:96-100)
+        digest = hashlib.sha256(open(dest, "rb").read()).hexdigest()
+        if digest == sha256.lower():
+            return dest  # verified offline cache hit
+        os.remove(dest)  # stale/corrupt cached copy — refetch below
+
+    os.makedirs(cache_dir, exist_ok=True)
+    if progress:
+        print(f"downloading {url} -> {dest}")
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".part")
+    try:
+        hasher = hashlib.sha256()
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                hasher.update(chunk)
+                out.write(chunk)
+        if sha256 is not None and hasher.hexdigest() != sha256.lower():
+            raise RuntimeError(
+                f"download {url}: sha256 mismatch "
+                f"(got {hasher.hexdigest()}, expected {sha256})"
+            )
+        os.replace(tmp, dest)  # atomic: readers never see a partial file
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    return dest
+
+
 def load_model_from_config(model_config: dict, dtype=jnp.float32):
-    """Resolve the model field of a registry config to (model, variables)."""
+    """Resolve the model field of a registry config to (model, variables).
+
+    ``model:`` may be a local path or an ``http(s)://``/``file://`` URL;
+    URLs resolve through :func:`cached_model_path` (download once into
+    ``~/.empanada_tpu/downloads``, offline cache hits after), with an
+    optional ``model_sha256:`` config key checked on first download."""
     model_path = model_config["model"]
-    if isinstance(model_path, str) and model_path.startswith(("http://", "https://")):
-        raise RuntimeError(
-            "URL model sources are not available in this environment; "
-            "register a local bundle path instead (add_new_model)."
+    if isinstance(model_path, str) and model_path.startswith(
+        ("http://", "https://", "file://")
+    ):
+        model_path = cached_model_path(
+            model_path, sha256=model_config.get("model_sha256")
         )
     model_path = os.path.expanduser(model_path)
     if not os.path.isfile(model_path):

@@ -259,8 +259,8 @@ class PanopticDeepLabRenderEngine(_EngineBase):
             )
 
         @jax.jit
-        def _merge(sem_prob, cells):
-            sem = pp.harden_seg(sem_prob, self.confidence_thr)
+        def _merge(sem_med, cells):
+            sem = pp.harden_median_space(sem_med, self.confidence_thr)
             ins = jnp.where(pp._thing_mask(sem, self.thing_list), cells, 0)
             return pp.merge_semantic_and_instance(
                 sem, ins, self.label_divisor, self.thing_list, self.stuff_area,
@@ -268,18 +268,19 @@ class PanopticDeepLabRenderEngine(_EngineBase):
             )
 
         @partial(jax.jit, static_argnames=("upsampling",))
-        def _post(sem_prob, ctr_hmp, offsets, upsampling=1):
+        def _post(sem_med, ctr_hmp, offsets, upsampling=1):
             """Fused cells+merge in ONE dispatch, with the instance one-hot
             contractions on the coarse grouping grid (exact — see
             merge_semantic_and_instance_coarse); the full-res instance map
-            is never materialized.  Returns (pan, n_over)."""
+            is never materialized, and hardening happens in logit space so
+            no probability map is either.  Returns (pan, n_over)."""
             cells, n_over = pp.get_instance_cells(
                 ctr_hmp, offsets, self.coarse_boundaries, upsampling,
                 self.nms_threshold, self.nms_kernel, self.max_centers,
                 return_overflow=True, keep_coarse=True,
             )
             step = int(upsampling) * (4 if self.coarse_boundaries else 1)
-            sem = pp.harden_seg(sem_prob, self.confidence_thr)
+            sem = pp.harden_median_space(sem_med, self.confidence_thr)
             pan = pp.merge_semantic_and_instance_coarse(
                 sem, cells, self.label_divisor, self.thing_list,
                 self.stuff_area, self.void_label, self.num_classes,
@@ -306,7 +307,11 @@ class PanopticDeepLabRenderEngine(_EngineBase):
             out["sem_logits"] = _resize_logits(
                 out["sem_logits"], (int(out_hw[0]), int(out_hw[1]))
             )
-        out["sem"] = pp.logits_to_prob(out["sem_logits"])
+        # median-space contract (pp.to_median_space): binary models keep raw
+        # logits end-to-end (the odd-window median is a per-pixel selection,
+        # which commutes with the monotone sigmoid — no probability map in
+        # HBM); multiclass models carry softmax probs through the median
+        out["sem"] = pp.to_median_space(out["sem_logits"])
         return out
 
     def get_instance_cells(self, ctr_hmp, offsets, upsampling: int = 1):
@@ -341,8 +346,10 @@ class PanopticDeepLabRenderEngine(_EngineBase):
     def reset_overflow(self):
         self._overflow_dev = None
 
-    def postprocess(self, sem_prob, cells) -> jnp.ndarray:
-        return self._merge(sem_prob, cells)
+    def postprocess(self, sem_med, cells) -> jnp.ndarray:
+        """``sem_med``: median-space semantic map (raw logits for binary
+        models, softmax probs for multiclass — see pp.to_median_space)."""
+        return self._merge(sem_med, cells)
 
     def _prepare(self, image: np.ndarray):
         x = self._to_device_image(image)

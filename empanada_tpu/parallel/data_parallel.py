@@ -192,8 +192,13 @@ class MultiChipEngine3d:
                 render_steps=render_steps,
                 interpolate_ins=not self.coarse_boundaries,
             )
-            sem = pp.logits_to_prob(out["sem_logits"])
-            return sem, out["ctr_hmp"], out["offsets"]
+            # median-space contract (pp.to_median_space): binary models
+            # carry raw logits (the odd-window median is a selection, which
+            # commutes with the monotone sigmoid — no probability map in
+            # HBM); multiclass models carry softmax probs (the per-channel
+            # median does not commute through softmax)
+            return (pp.to_median_space(out["sem_logits"]),
+                    out["ctr_hmp"], out["offsets"])
 
         def _post_one(sem_med, ctr_hmp, offsets, upsampling):
             """sem_med (H, W, C); ctr (h, w, 1); off (h, w, 2) -> (H, W)."""
@@ -203,7 +208,7 @@ class MultiChipEngine3d:
                 return_overflow=True, keep_coarse=True,
             )
             step = int(upsampling) * (4 if self.coarse_boundaries else 1)
-            sem_h = pp.harden_seg(sem_med[None], self.confidence_thr)
+            sem_h = pp.harden_median_space(sem_med[None], self.confidence_thr)
             # coarse-grid merge: exact, ~step^2x less one-hot HBM traffic
             pan = pp.merge_semantic_and_instance_coarse(
                 sem_h, cells, self.label_divisor, self.thing_list, self.stuff_area,
@@ -273,8 +278,8 @@ class MultiChipEngine3d:
                 render_steps=render_steps,
                 interpolate_ins=not self.coarse_boundaries,
             )
-            sem = pp.logits_to_prob(out["sem_logits"])
-            return sem, out["ctr_hmp"], out["offsets"]
+            return (pp.to_median_space(out["sem_logits"]),
+                    out["ctr_hmp"], out["offsets"])
 
         self._forward = forward
         self._post_batch = postprocess_batch

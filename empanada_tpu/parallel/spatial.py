@@ -267,13 +267,14 @@ class SpatialEngine2d:
                 out["sem_logits"] = bilinear_resize(
                     out["sem_logits"], want, align_corners=True
                 )
-            sem = pp.logits_to_prob(out["sem_logits"])
             cells = pp.get_instance_cells(
                 out["ctr_hmp"], out["offsets"], self.coarse_boundaries,
                 upsampling, self.nms_threshold, self.nms_kernel,
                 self.max_centers, keep_coarse=True,
             )
-            sem_h = pp.harden_seg(sem, self.confidence_thr)
+            # logit-space hardening (exact; see pp.harden_logits) — no
+            # probability map in HBM
+            sem_h = pp.harden_logits(out["sem_logits"], self.confidence_thr)
             # coarse-grid merge: exact, ~16x less one-hot HBM traffic
             step = int(upsampling) * (4 if self.coarse_boundaries else 1)
             pan = pp.merge_semantic_and_instance_coarse(

@@ -88,6 +88,84 @@ class TestBundles:
         assert all(jax.tree.leaves(chex))
 
 
+class TestUrlModelSource:
+    """URL ``model:`` sources resolve through the download cache
+    (reference empanada_napari/utils.py:80-106 downloads Zenodo artifacts
+    into ~/.empanada).  Driven through ``file://`` URLs — the same
+    urllib code path as http(s), no egress needed."""
+
+    def _bundle_url(self, tmp_path, tiny_model_and_variables):
+        import hashlib
+
+        model, variables = tiny_model_and_variables
+        p = api.save_model_bundle(
+            str(tmp_path / "src" / "m"),
+            "PanopticDeepLabPR",
+            dict(encoder="resnet18", num_classes=1, decoder_channels=32,
+                 low_level_channels_project=(16, 8, 4),
+                 subdivision_num_points=256),
+            variables,
+        )
+        sha = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return p, "file://" + p, sha
+
+    def test_download_cache_and_offline_hit(self, tmp_path, monkeypatch,
+                                            tiny_model_and_variables):
+        import os
+
+        (tmp_path / "src").mkdir()
+        src, url, sha = self._bundle_url(tmp_path, tiny_model_and_variables)
+        monkeypatch.setenv("EMPANADA_TPU_CACHE", str(tmp_path / "cache"))
+
+        cfg = {"model": url, "model_sha256": sha}
+        model, variables = api.load_model_from_config(cfg)
+        assert model.num_classes == 1
+
+        # cached: delete the source; the load must hit the cache offline
+        os.remove(src)
+        model2, variables2 = api.load_model_from_config(cfg)
+        eq = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            variables, variables2,
+        )
+        assert all(jax.tree.leaves(eq))
+        # exactly one cached artifact, no leftovers
+        assert len(os.listdir(tmp_path / "cache")) == 1
+
+    def test_checksum_mismatch_rejected(self, tmp_path, monkeypatch,
+                                        tiny_model_and_variables):
+        import os
+
+        (tmp_path / "src").mkdir()
+        _, url, _ = self._bundle_url(tmp_path, tiny_model_and_variables)
+        monkeypatch.setenv("EMPANADA_TPU_CACHE", str(tmp_path / "cache"))
+        with pytest.raises(RuntimeError, match="sha256 mismatch"):
+            api.cached_model_path(url, sha256="0" * 64)
+        # a failed download must leave no cache entry (atomic rename only
+        # happens after verification)
+        leftover = [n for n in os.listdir(tmp_path / "cache")
+                    if not n.endswith(".part")]
+        assert leftover == []
+
+    def test_stale_cache_refetched_on_checksum_change(
+            self, tmp_path, monkeypatch, tiny_model_and_variables):
+        import os
+
+        (tmp_path / "src").mkdir()
+        src, url, sha = self._bundle_url(tmp_path, tiny_model_and_variables)
+        monkeypatch.setenv("EMPANADA_TPU_CACHE", str(tmp_path / "cache"))
+        dest = api.cached_model_path(url)  # no checksum: trust-on-first-use
+        # corrupt the cached copy; a later load that DOES pin a checksum
+        # must detect and refetch, not serve the corrupt bytes
+        with open(dest, "r+b") as f:
+            f.write(b"garbage")
+        fixed = api.cached_model_path(url, sha256=sha)
+        assert fixed == dest
+        import hashlib
+
+        assert hashlib.sha256(open(dest, "rb").read()).hexdigest() == sha
+
+
 class TestPreprocessor:
     def test_rejects_float(self):
         pre = api.Preprocessor(mean=0.5, std=0.2)
