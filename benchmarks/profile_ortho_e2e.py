@@ -32,7 +32,7 @@ def main():
         _, tr = engine.infer_on_axis(volume, ax, timer=timer)
         per_axis[ax] = {"wall_s": round(time.perf_counter() - t0, 3),
                         "batch": engine.last_batch_size,
-                        **{k: round(v, 3) for k, v in timer.report().items()}}
+                        **{k: v["total_s"] for k, v in timer.report().items()}}
         trackers[ax] = tr
     t_sweeps = time.perf_counter() - t_total
 

@@ -110,6 +110,15 @@ class MultiChipEngine3d:
         # parallel per-slice rle_seg construction in the matcher
         self.drain_async = bool(kwargs.pop("drain_async", True))
         self.seg_build_workers = kwargs.pop("seg_build_workers", None)
+        # whole-sweep fusion: when the volume is device-resident and the
+        # outputs fit the budget, forward+postprocess for an ENTIRE axis run
+        # as two lax.scan dispatches and results come back in one packed
+        # fetch — dispatch/RPC count per sweep drops from O(n_batches) to
+        # O(1), which dominates small-slice ortho sweeps on remote-attached
+        # devices ("auto"; True forces where possible, False disables)
+        self.sweep_fused = kwargs.pop("sweep_fused", "auto")
+        self.sweep_fused_max_bytes = int(kwargs.pop("sweep_fused_max_bytes",
+                                                    1 << 30))
         # volume residency: upload the uint volume to device memory ONCE and
         # slice/transpose/pad per axis inside the forward jit — ortho-plane
         # sweeps then never re-stream host slices (the reference re-reads the
@@ -281,10 +290,71 @@ class MultiChipEngine3d:
             return (pp.to_median_space(out["sem_logits"]),
                     out["ctr_hmp"], out["offsets"])
 
+        @partial(jax.jit, static_argnames=("b", "render_steps", "n_batches"))
+        def forward_all(variables, vol, max_value, b, render_steps,
+                        n_batches):
+            """Whole-sweep forward in ONE dispatch: lax.scan over the batch
+            index, each step running forward_sliced's body on (b, H, W)
+            sliced from the resident volume.  The stacked outputs stay in
+            HBM (sem at bf16 + quarter-res ctr/off — tens of MB at ortho
+            scale)."""
+
+            def body(carry, start):
+                sem, ctr, off = forward_sliced(
+                    variables, vol, start, max_value, b=b,
+                    render_steps=render_steps,
+                )
+                return carry, (sem, ctr, off)
+
+            _, outs = jax.lax.scan(
+                body, 0, jnp.arange(n_batches, dtype=jnp.int32) * b
+            )
+            return outs
+
+        @partial(jax.jit, static_argnames=("b", "n_batches", "n_slices",
+                                           "upsampling", "crop", "max_runs"))
+        def post_all(sems, ctrs, offs, b=1, n_batches=1, n_slices=1,
+                     upsampling=1, crop=None, max_runs=32):
+            """Whole-sweep postprocess in ONE dispatch: median windows
+            gather from the full sem stack by absolute slice index (same
+            clip-at-edges + raw-edge-slice semantics as the streamed path),
+            then the batched merge + packed run-length compaction.  Returns
+            (packed (n_batches, b, h, 2R+1) int16, pans (n_batches, b, h, w)
+            int32 for the rare run-overflow fallback, worst overflow)."""
+            mid = self.mid
+            flat = sems.reshape((n_batches * b,) + sems.shape[2:])
+            h, w = crop
+
+            def body(carry, j):
+                idxs = j * b + jnp.arange(b, dtype=jnp.int32)
+                win = jnp.clip(
+                    idxs[:, None]
+                    + jnp.arange(-mid, mid + 1, dtype=jnp.int32)[None, :],
+                    0, n_slices - 1,
+                )
+                use_med = (idxs >= mid) & (idxs < n_slices - mid)
+                sem_windows = flat[win]               # (b, ks, H, W, C)
+                med = jnp.median(sem_windows, axis=1)
+                raw = sem_windows[:, mid]
+                sem = jnp.where(use_med[:, None, None, None], med, raw)
+                pans, n_over = jax.vmap(
+                    lambda s, c, o: _post_one(s, c, o, upsampling)
+                )(sem, ctrs[j], offs[j])
+                pans = pans[:, :h, :w]
+                return jnp.maximum(carry, n_over.max()), (
+                    pp.encode_runs_packed(pans, max_runs), pans)
+
+            n_over, (packed, pans) = jax.lax.scan(
+                body, jnp.int32(0), jnp.arange(n_batches, dtype=jnp.int32)
+            )
+            return packed, pans, n_over
+
         self._forward = forward
         self._post_batch = postprocess_batch
         self._prep_volume = prep_volume
         self._forward_sliced = forward_sliced
+        self._forward_all = forward_all
+        self._post_all = post_all
 
     # ------------------------------------------------------------------
     def _max_runs(self, width: int) -> int:
@@ -349,6 +419,126 @@ class MultiChipEngine3d:
             self._vol_cache_key = key
             self._vol_cache_ref = volume  # keeps id() valid for the key
         return self._vol_cache_dev
+
+    def _sweep_eligible(self, volume, axis: int) -> bool:
+        """Whether infer_on_axis may take the whole-sweep-fused path."""
+        if self.sweep_fused is False:
+            return False
+        if jax.process_count() > 1:
+            return False  # multi-host keeps the streamed/drained path
+        if self._resident_volume(volume) is None:
+            return False
+        dims = [s for i, s in enumerate(volume.shape) if i != axis]
+        if self._max_runs(dims[1]) <= 0:
+            return False  # packed compaction is the point of the bulk fetch
+        n_slices = volume.shape[axis]
+        b = self._resolve_batch(volume.shape, axis)
+        n_batches = -(-n_slices // b)
+        pad = lambda d: d + (-d) % self.padding_factor  # noqa: E731
+        sem_bytes = n_batches * b * pad(dims[0]) * pad(dims[1]) * \
+            (self.num_classes - 1) * 2
+        pan_bytes = n_batches * b * dims[0] * dims[1] * 4
+        if self.sweep_fused == "auto" and \
+                sem_bytes + pan_bytes > self.sweep_fused_max_bytes:
+            return False
+        return True
+
+    def _sweep_device(self, volume, axis_name: str, timer):
+        """Dispatch one axis' ENTIRE sweep (forward scan + postprocess scan
+        + packed compaction) and return unfetched device handles — two
+        device calls total.  infer_orthoplane dispatches all three axes
+        before fetching any, so the device computes axis i+1 while the host
+        decodes axis i."""
+        axis = self.axes[axis_name]
+        n_slices = volume.shape[axis]
+        b = self._resolve_batch(volume.shape, axis)
+        n_batches = -(-n_slices // b)
+        dims = [s for i, s in enumerate(volume.shape) if i != axis]
+        vol_raw = self._resident_volume(volume)
+        with timer.stage("upload"):
+            vol_axis = self._prep_volume(
+                vol_raw, axis=axis,
+                pad_axis=n_batches * b - n_slices,
+                pad_h=(-dims[0]) % self.padding_factor,
+                pad_w=(-dims[1]) % self.padding_factor,
+            )
+        max_value = float(np.iinfo(volume.dtype).max)
+        render_steps = int(2 + math.log2(self.inference_scale))
+        with timer.stage("forward_dispatch"):
+            sems, ctrs, offs = self._forward_all(
+                self.variables, vol_axis, jnp.float32(max_value),
+                b=b, render_steps=render_steps, n_batches=n_batches,
+            )
+        h, w = dims
+        with timer.stage("post_dispatch"):
+            packed, pans, n_over = self._post_all(
+                sems, ctrs, offs, b=b, n_batches=n_batches,
+                n_slices=n_slices, upsampling=self.inference_scale,
+                crop=(h, w), max_runs=self._max_runs(w),
+            )
+        try:
+            # start the device->host copy so it overlaps any queued device
+            # work (the next axis' sweep) instead of blocking at fetch time
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        return {"axis_name": axis_name, "b": b, "n_batches": n_batches,
+                "n_slices": n_slices, "w": w, "packed": packed,
+                "pans": pans, "n_over": n_over}
+
+    def _sweep_host(self, volume, handles, timer, progress: bool = False):
+        """Fetch + decode + match + track one dispatched sweep."""
+        from empanada_tpu.utils import Progress
+
+        axis_name = handles["axis_name"]
+        n_slices, b, w = handles["n_slices"], handles["b"], handles["w"]
+        self.last_batch_size = b
+        trackers = [
+            InstanceTracker(label, self.label_divisor, volume.shape, axis_name)
+            for label in self.labels
+        ]
+        matchers = create_matchers(
+            self.thing_list, self.label_divisor, self.merge_iou_thr,
+            self.merge_ioa_thr,
+        )
+        worker = MatcherWorker(matchers, self.labels, self.label_divisor,
+                               self.thing_list,
+                               force_connected=self.force_connected,
+                               build_workers=self.seg_build_workers)
+        bar = Progress(total=n_slices, desc=f"axis {axis_name}",
+                       enabled=progress)
+        with timer.stage("fetch"):
+            packed_np = np.asarray(handles["packed"])
+        rcap = (packed_np.shape[-1] - 1) // 2
+        pans_np = None
+        with timer.stage("host_decode+enqueue"):
+            for s in range(n_slices):
+                row_buf = packed_np[s // b, s % b]
+                if int(row_buf[..., -1].max()) > rcap:
+                    # run-capacity overflow: fall back to the dense map for
+                    # this slice only (one indexed fetch; rare by sizing)
+                    if pans_np is None:
+                        pans_np = np.asarray(handles["pans"])
+                    worker.put(pans_np[s // b, s % b].astype(np.int64))
+                else:
+                    worker.put(("packed", row_buf, w))
+                bar.update()
+        rle_stack = worker.finish()
+        timer.add("matcher_busy", worker.stats["busy_s"])
+        bar.close()
+        self.last_overflow = int(handles["n_over"])
+        if self.last_overflow:
+            import sys
+
+            print(
+                f"warning: axis {axis_name}: up to {self.last_overflow} NMS "
+                f"centers per slice exceeded max_centers={self.max_centers} "
+                "and were dropped (instances merged into nearest neighbors) "
+                "— rerun with a larger max_centers",
+                file=sys.stderr,
+            )
+        return self._finish_axis(rle_stack, matchers, trackers, volume,
+                                 axis_name, timer)
 
     def _batches(self, dataset: VolumeDataset, b: int):
         """Yield (indices, images (B, H, W, 1) padded+stacked, size)."""
@@ -433,6 +623,13 @@ class MultiChipEngine3d:
             if resume and fc.exists():
                 loaded_stack = fc.load()
         z_done = len(loaded_stack)
+
+        # whole-sweep fusion: without checkpointing, a resident volume's
+        # entire axis runs as two scan dispatches + one bulk packed fetch
+        # (see _sweep_device) — the per-batch dispatch/RPC tax vanishes
+        if fc is None and not loaded_stack and self._sweep_eligible(volume, axis):
+            handles = self._sweep_device(volume, axis_name, timer)
+            return self._sweep_host(volume, handles, timer, progress=progress)
 
         # auto batch (batch_size=None) resolves deterministically from the
         # volume shape, so checkpoint resume (meta records batch_size=None +
@@ -729,6 +926,17 @@ class MultiChipEngine3d:
         t_stream.__exit__(None, None, None)
 
         # phase C: backward matching + tracking + filters (host)
+        stack, trackers = self._finish_axis(rle_stack, matchers, trackers,
+                                            volume, axis_name, timer)
+        if fc is not None:
+            fc.remove()  # axis complete; partial state is stale now
+        return stack, trackers
+
+    def _finish_axis(self, rle_stack, matchers, trackers, volume,
+                     axis_name: str, timer):
+        """Backward matching + tracking + filters + optional volume fill —
+        the shared host tail of the streamed and sweep-fused paths."""
+        n_slices = volume.shape[self.axes[axis_name]]
         with timer.stage("backward_matching"):
             for index, rle_seg in backward_matching(rle_stack, matchers, n_slices):
                 update_trackers(rle_seg, index, trackers)
@@ -748,9 +956,6 @@ class MultiChipEngine3d:
                 stack = np.zeros(volume.shape, dtype=self.dtype)
             with timer.stage("fill_volume"):
                 fill_panoptic_volume(stack, trackers)
-
-        if fc is not None:
-            fc.remove()  # axis complete; partial state is stale now
         self.last_timing = timer.report()
         return stack, trackers
 
@@ -775,6 +980,28 @@ class MultiChipEngine3d:
 
         trackers = {}
         max_overflow = 0
+
+        # pipelined sweep fusion: with no checkpointing and every axis
+        # sweep-eligible, dispatch ALL THREE axes' device chains first (the
+        # device queues them back-to-back), then fetch+decode per axis — the
+        # host processes axis i while the device computes axis i+1.  The
+        # reference re-infers serially per axis with zero overlap
+        # (empanada_napari/_volume_inference.py:336-348).
+        if checkpoint_dir is None:
+            if all(self._sweep_eligible(volume, self.axes[ax])
+                   for ax in self.axes):
+                from empanada_tpu.utils import StageTimer
+
+                timer = timer or StageTimer()
+                handles = [self._sweep_device(volume, ax, timer)
+                           for ax in self.axes]
+                for h in handles:
+                    trackers[h["axis_name"]] = self._sweep_host(
+                        volume, h, timer, progress=progress)[1]
+                    max_overflow = max(max_overflow, self.last_overflow)
+                self.last_overflow = max_overflow
+                return trackers
+
         for axis_name in self.axes:
             loaded = None
             if checkpoint_dir is not None:

@@ -104,10 +104,43 @@ class TestStreamedEquivalence:
             results[resident] = _tracker_sets(trackers)
         assert results[True] == results[False]
 
+    def test_sweep_fused_matches_streamed(self, tiny_model_and_variables, cfg):
+        """Whole-sweep fusion (forward+postprocess scans in two dispatches,
+        one bulk packed fetch — data_parallel._sweep_device) produces
+        byte-identical trackers to the streamed per-batch path, on a
+        non-multiple-of-batch depth (tail + median edge semantics) and for
+        the pipelined infer_orthoplane (all three axes dispatched before
+        any fetch)."""
+        model, variables = tiny_model_and_variables
+        vol = np.stack(
+            [make_blob_image((64, 64), n_blobs=4, seed=s) for s in range(21)]
+        )
+
+        results, ortho = {}, {}
+        for fused in (False, True):
+            eng = MultiChipEngine3d(
+                cfg, median_kernel_size=3, min_size=10, min_extent=1,
+                max_centers=64, model_and_variables=(model, variables),
+                sweep_fused=fused,
+            )
+            if fused:
+                assert eng._sweep_eligible(vol, 0), "fixture must be eligible"
+            _, trackers = eng.infer_on_axis(vol, "xy")
+            results[fused] = _tracker_sets(trackers)
+            ortho[fused] = {
+                ax: _tracker_sets(trs)
+                for ax, trs in eng.infer_orthoplane(vol).items()
+            }
+        assert results[True] == results[False]
+        assert ortho[True] == ortho[False]
+
     def test_memory_is_bounded_in_depth(self, tiny_model_and_variables, cfg):
-        """256-slice stack: resident sem batches stay at 2K+1, independent
-        of stack depth (previously the whole volume's probability stacks
-        were concatenated on device)."""
+        """256-slice stack: STREAMED-path resident sem batches stay at
+        2K+1, independent of stack depth (previously the whole volume's
+        probability stacks were concatenated on device).  sweep_fused=False
+        pins the streamed path — the fused path holds the whole sem stack
+        by design and bounds itself via _sweep_eligible's byte budget
+        (asserted below)."""
         model, variables = tiny_model_and_variables
         vol = np.stack(
             [make_blob_image((32, 32), n_blobs=2, seed=s % 7) for s in range(256)]
@@ -115,9 +148,18 @@ class TestStreamedEquivalence:
 
         eng = MultiChipEngine3d(
             cfg, median_kernel_size=5, min_size=5, min_extent=1, max_centers=32,
-            model_and_variables=(model, variables),
+            model_and_variables=(model, variables), sweep_fused=False,
         )
         _, trackers = eng.infer_on_axis(vol, "xy")
+
+        # the auto gate: a stack whose sem+pan bytes exceed the budget must
+        # fall back to the streamed path rather than hold it all on device
+        eng2 = MultiChipEngine3d(
+            cfg, median_kernel_size=5, min_size=5, min_extent=1,
+            max_centers=32, model_and_variables=(model, variables),
+            sweep_fused_max_bytes=1024,
+        )
+        assert not eng2._sweep_eligible(vol, 0)
 
         b = eng.last_batch_size
         mid = eng.mid
