@@ -380,8 +380,8 @@ def _device_compute_s(engine, volume, axis_name):
     return (dt_fwd + dt_post) * n_batches
 
 
-_HOST_STAGES = ("host_prep", "host_decode+enqueue", "backward_matching",
-                "fill_volume")
+_HOST_STAGES = ("host_prep", "host_decode+enqueue", "matcher_drain",
+                "backward_matching", "fill_volume")
 
 
 def _median_runs(run_once, n: int = 3):
@@ -438,7 +438,9 @@ def bench_3d():
     volume = _blob_volume(d, H, W, 8)
     engine = _bench_engine(H, max_centers=512)
 
-    engine.infer_on_axis(volume[:8], "xy")  # compile warmup
+    # full-shape warmup: the sweep-fused path compiles per (n_batches, b),
+    # so an 8-slice warmup would leave the 64-slice compile in run 1
+    engine.infer_on_axis(volume, "xy")
 
     def run_once():
         timer = StageTimer()
@@ -474,9 +476,10 @@ def bench_ortho():
 
     # compile warmup per distinct slice shape: xy (256,256); xz/yz both
     # (64,256) after padding, so they share one compile
-    engine.infer_on_axis(volume[:, :, : engine._resolve_batch(volume.shape, 2)],
-                         "yz")
-    engine.infer_on_axis(volume[: engine._resolve_batch(volume.shape, 0)], "xy")
+    # full-shape warmup (sweep-fused compiles are per (n_batches, b) and
+    # per slice geometry: xy (256,256); xz/yz share (64,256))
+    engine.infer_on_axis(volume, "yz")
+    engine.infer_on_axis(volume, "xy")
 
     def run_once():
         timer = StageTimer()

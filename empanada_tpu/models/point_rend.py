@@ -52,7 +52,17 @@ def get_uncertain_point_coords_on_grid(uncertainty_map: jnp.ndarray, num_points:
     n, h, w, _ = uncertainty_map.shape
     num_points = min(h * w, num_points)
     flat = uncertainty_map.reshape(n, h * w)
-    point_indices = jax.lax.top_k(flat, num_points)[1]
+    if (flat.dtype == jnp.bfloat16 and h * w % 65536 == 0
+            and num_points <= 65536):
+        # uncertainties are non-positive bf16 (-|logit| / top2 difference):
+        # the segment-packed single-operand sort selects the same top-k set
+        # (tie-subsets may differ — documented class) ~2x cheaper than
+        # top_k's pair sort (ops/select.py)
+        from empanada_tpu.ops.select import top_k_neg_bf16_indices
+
+        point_indices = top_k_neg_bf16_indices(flat, num_points)
+    else:
+        point_indices = jax.lax.top_k(flat, num_points)[1]
     xs = (1.0 / w) * (0.5 + (point_indices % w).astype(jnp.float32))
     ys = (1.0 / h) * (0.5 + (point_indices // w).astype(jnp.float32))
     return point_indices, jnp.stack([xs, ys], axis=-1)

@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["kth_largest", "kth_smallest_nonneg", "top_k_mask_indices"]
+__all__ = ["kth_largest", "kth_smallest_nonneg", "top_k_mask_indices",
+           "top_k_neg_bf16_indices"]
 
 
 def _monotone_key(x: jnp.ndarray) -> jnp.ndarray:
@@ -122,6 +123,48 @@ def top_k_mask_indices(x: jnp.ndarray, k: int, block: int = 128) -> jnp.ndarray:
     idx_strict = nth_set_bit(strict, jnp.minimum(slots, c_strict - 1))
     idx_tie = nth_set_bit(ties, jnp.maximum(slots - c_strict, 0))
     return jnp.where(slots < c_strict, idx_strict, idx_tie)
+
+
+_SEG = 65536  # segment length: local indices must fit 16 bits
+
+
+def top_k_neg_bf16_indices(u: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k largest entries per row of non-positive bf16 ``u``
+    — exact, via a single-operand segment-packed sort.
+
+    ``jax.lax.top_k``'s index output forces a (value, iota) PAIR sort
+    (~2.2 ms for 8x262144-of-8192 on v5e).  When values are bf16 and
+    non-positive (PointRend uncertainties are ``-|logit|``), value and
+    index pack into ONE int32 key per element — 16 monotone value bits
+    above 16 inverted local-index bits — so each 65536-element segment
+    sorts a single int32 operand, and a second small top_k merges the
+    per-segment survivors.  ~2x less sort traffic at PointRend sizes.
+
+    Ordering: by value descending, then by index ascending WITHIN a
+    segment, then by segment — a different tie-subset than top_k's global
+    index order when equal values straddle the k boundary across
+    segments, which is inside the documented tie-divergence class
+    (PARITY.md "PointRend top-k ties"; torch.topk is likewise
+    unspecified).  Requires u.dtype == bfloat16, all values <= 0 (incl.
+    -0.0 — ``-jnp.abs`` always produces the sign bit), m % 65536 == 0 and
+    k <= m; callers fall back to ``jax.lax.top_k`` otherwise.
+    """
+    n, m = u.shape
+    assert u.dtype == jnp.bfloat16 and m % _SEG == 0 and k <= m
+    s = m // _SEG
+    bits = jax.lax.bitcast_convert_type(u, jnp.uint16).astype(jnp.uint32)
+    # monotone key for non-positive bf16: sign bit is always set, so the
+    # IEEE trick reduces to plain inversion (bigger key = bigger value);
+    # the result fits 15 bits, keeping the packed int32 positive
+    key16 = (~bits) & jnp.uint32(0x7FFF)
+    local = jnp.arange(m, dtype=jnp.uint32) % _SEG
+    packed = ((key16 << 16) | (jnp.uint32(_SEG - 1) - local)).astype(jnp.int32)
+    per_seg = jax.lax.top_k(packed.reshape(n, s, _SEG), min(k, _SEG))[0]
+    cand = per_seg.reshape(n, -1)
+    top_vals, top_pos = jax.lax.top_k(cand, k)
+    seg = (top_pos // min(k, _SEG)).astype(jnp.int32)
+    local_idx = jnp.int32(_SEG - 1) - (top_vals & jnp.int32(0xFFFF))
+    return seg * _SEG + local_idx
 
 
 def kth_smallest_nonneg(x: jnp.ndarray, k: int) -> jnp.ndarray:

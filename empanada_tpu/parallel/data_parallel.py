@@ -523,7 +523,8 @@ class MultiChipEngine3d:
                 else:
                     worker.put(("packed", row_buf, w))
                 bar.update()
-        rle_stack = worker.finish()
+        with timer.stage("matcher_drain"):
+            rle_stack = worker.finish()
         timer.add("matcher_busy", worker.stats["busy_s"])
         bar.close()
         self.last_overflow = int(handles["n_over"])
