@@ -420,8 +420,19 @@ class MultiChipEngine3d:
             self._vol_cache_ref = volume  # keeps id() valid for the key
         return self._vol_cache_dev
 
-    def _sweep_eligible(self, volume, axis: int) -> bool:
-        """Whether infer_on_axis may take the whole-sweep-fused path."""
+    def _sweep_eligible(self, volume, axis: int,
+                        pipelined: bool = False) -> bool:
+        """Whether infer_on_axis may take the whole-sweep-fused path.
+
+        ``pipelined`` is set by infer_orthoplane's all-axes mode, where
+        cross-axis overlap (device computes axis i+1 while the host decodes
+        axis i) pays for the fused path's within-axis serialization even at
+        low dispatch counts.  A STANDALONE sweep with few batches keeps the
+        streamed path instead: its drainer thread overlaps host decode with
+        device compute, which measured faster than fusion at n_batches <= 2
+        (64x512^2 xy: streamed 0.80 s vs fused 0.97 s) while fusion wins
+        when the per-batch dispatch/RPC tax dominates (many small batches).
+        """
         if self.sweep_fused is False:
             return False
         if jax.process_count() > 1:
@@ -434,6 +445,8 @@ class MultiChipEngine3d:
         n_slices = volume.shape[axis]
         b = self._resolve_batch(volume.shape, axis)
         n_batches = -(-n_slices // b)
+        if self.sweep_fused == "auto" and not pipelined and n_batches < 3:
+            return False
         pad = lambda d: d + (-d) % self.padding_factor  # noqa: E731
         sem_bytes = n_batches * b * pad(dims[0]) * pad(dims[1]) * \
             (self.num_classes - 1) * 2
@@ -989,7 +1002,8 @@ class MultiChipEngine3d:
         # reference re-infers serially per axis with zero overlap
         # (empanada_napari/_volume_inference.py:336-348).
         if checkpoint_dir is None:
-            if all(self._sweep_eligible(volume, self.axes[ax])
+            if all(self._sweep_eligible(volume, self.axes[ax],
+                                        pipelined=True)
                    for ax in self.axes):
                 from empanada_tpu.utils import StageTimer
 
