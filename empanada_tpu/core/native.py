@@ -114,6 +114,26 @@ def _load():
         ctypes.c_int, i64p, i64p, i64p, i64p, i64p, i64p]
     lib.packed_build_flat.restype = ctypes.c_int64
 
+    # hot per-slice bindings take raw void pointers: .ctypes.data is a
+    # plain int (~10x cheaper than a data_as POINTER cast, and the matcher
+    # makes ~9 of these per slice pair)
+    vp = ctypes.c_void_p
+    lib.match_flat_core.argtypes = [
+        vp, vp, vp, vp, vp, ctypes.c_int64,   # target flat
+        vp, vp, vp, vp, vp, ctypes.c_int64,   # match flat
+        ctypes.c_double,                       # iou_thr
+        vp, vp, vp,                            # matched_row/col stats
+        vp, vp, ctypes.c_int64]                # spill
+    lib.match_flat_core.restype = ctypes.c_int64
+
+    lib.solve_spill.argtypes = [
+        vp, vp, ctypes.c_int64, ctypes.c_double, vp, vp]
+    lib.solve_spill.restype = ctypes.c_int64
+
+    lib.merge_groups_flat.argtypes = [
+        vp, vp, vp, vp, vp, vp, ctypes.c_int64, vp, vp, vp, vp]
+    lib.merge_groups_flat.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -410,6 +430,108 @@ def packed_build_flat(row_buf: np.ndarray, width: int, min_id: int,
     k = int(n_inst[0])
     return (labels[:k].copy(), boxes[:k].copy(), offsets[: k + 1].copy(),
             starts[:n_out].copy(), runs[:n_out].copy())
+
+
+def match_flat_core(tf, mf, iou_thr: float):
+    """One-call matcher core for two FlatInstances-shaped tuples
+    (csrc match_flat_core): box screen + RLE intersections + IoU edges +
+    union-find + single-candidate assignment + per-column IoA stats.
+
+    ``tf``/``mf``: objects with .boxes (n,4) int64 half-open, .offsets,
+    .starts, .runs, .areas int64 arrays.  Returns
+    (matched_row (n2) int64 with -1 for cols not matched here,
+     col_max (n2) f64, col_arg (n2) int64,
+     spill (k,3) int64 [comp, row, col], spill_vals (k,) f64)
+    where spill carries the edges of components needing the exact
+    Hungarian solve (both sides > 1 member) — resolved by the caller.
+    None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n1, n2 = len(tf.labels), len(mf.labels)
+    matched_row = np.empty(n2, dtype=np.int64)
+    col_max = np.empty(n2, dtype=np.float64)
+    col_arg = np.empty(n2, dtype=np.int64)
+    cap = 1024
+    b1 = np.ascontiguousarray(tf.boxes, dtype=np.int64)
+    b2 = np.ascontiguousarray(mf.boxes, dtype=np.int64)
+    a1 = _as_i64(tf.areas)
+    a2 = _as_i64(mf.areas)
+    while True:
+        spill = np.empty((cap, 3), dtype=np.int64)
+        spill_vals = np.empty(cap, dtype=np.float64)
+        n_spill = lib.match_flat_core(
+            b1.ctypes.data, _as_i64(tf.offsets).ctypes.data,
+            _as_i64(tf.starts).ctypes.data, _as_i64(tf.runs).ctypes.data,
+            a1.ctypes.data, n1,
+            b2.ctypes.data, _as_i64(mf.offsets).ctypes.data,
+            _as_i64(mf.starts).ctypes.data, _as_i64(mf.runs).ctypes.data,
+            a2.ctypes.data, n2,
+            float(iou_thr),
+            matched_row.ctypes.data, col_max.ctypes.data,
+            col_arg.ctypes.data, spill.ctypes.data, spill_vals.ctypes.data,
+            cap,
+        )
+        if n_spill >= 0:
+            return (matched_row, col_max, col_arg,
+                    spill[:n_spill], spill_vals[:n_spill])
+        cap *= 8
+
+
+def merge_groups_flat(starts, runs, offsets, boxes, member_order,
+                      member_bounds):
+    """Collision-group merge in one call (csrc merge_groups_flat): per
+    group, gather members' runs, union them, and reduce the enclosing box.
+    Returns (out_starts, out_runs, out_offsets, out_boxes) or None when the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    starts = _as_i64(starts)
+    runs = _as_i64(runs)
+    offsets = _as_i64(offsets)
+    boxes = _as_i64(boxes)
+    member_order = _as_i64(member_order)
+    member_bounds = _as_i64(member_bounds)
+    n_groups = len(member_bounds) - 1
+    cap = len(starts)
+    out_starts = np.empty(cap, dtype=np.int64)
+    out_runs = np.empty(cap, dtype=np.int64)
+    out_offsets = np.empty(n_groups + 1, dtype=np.int64)
+    out_boxes = np.empty((n_groups, 4), dtype=np.int64)
+    n = lib.merge_groups_flat(
+        starts.ctypes.data, runs.ctypes.data, offsets.ctypes.data,
+        boxes.ctypes.data, member_order.ctypes.data,
+        member_bounds.ctypes.data, n_groups,
+        out_starts.ctypes.data, out_runs.ctypes.data,
+        out_offsets.ctypes.data, out_boxes.ctypes.data,
+    )
+    return out_starts[:n], out_runs[:n], out_offsets, out_boxes
+
+
+def solve_spill(spill: np.ndarray, spill_vals: np.ndarray, iou_thr: float):
+    """Exact Hungarian resolution of match_flat_core's spilled components
+    (csrc solve_spill: per-component shortest-augmenting-path assignment,
+    the same algorithm family as scipy.linear_sum_assignment).  ``spill``
+    (k, 3) int64 [comp, row, col] in any order (sorted by comp here);
+    returns (rows, cols) int64 arrays of threshold-passing assignments, or
+    None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if len(spill) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    order = np.argsort(spill[:, 0], kind="stable")
+    sp = np.ascontiguousarray(spill[order], dtype=np.int64)
+    sv = np.ascontiguousarray(spill_vals[order], dtype=np.float64)
+    out_r = np.empty(len(sp), dtype=np.int64)
+    out_c = np.empty(len(sp), dtype=np.int64)
+    n = lib.solve_spill(
+        sp.ctypes.data, sv.ctypes.data, len(sp), float(iou_thr),
+        out_r.ctypes.data, out_c.ctypes.data,
+    )
+    return out_r[:n], out_c[:n]
 
 
 def vote_sorted_sets(list_of_ranges, vote_thr: int) -> np.ndarray:

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <limits>
 #include <cstring>
 #include <queue>
 #include <thread>
@@ -173,6 +174,66 @@ int64_t batch_range_union(const int64_t* ranges, const int64_t* group_offsets,
         }
         if (open) { out[2 * n_out] = cs; out[2 * n_out + 1] = ce; ++n_out; }
         out_offsets[g + 1] = n_out;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// Collision-group merge straight from a FlatInstances buffer: group g's
+// members are member_order[member_bounds[g] : member_bounds[g+1]]; each
+// member's runs are gathered, sorted, coalesced (union), and the members'
+// boxes reduced to the enclosing box — one call per slice instead of the
+// ~10-op numpy chain in stitch/matcher._merge_collisions.  Boxes are
+// (n, 4) [lo_y, lo_x, hi_y, hi_x].  Returns total output runs.
+// ---------------------------------------------------------------------------
+
+int64_t merge_groups_flat(
+    const int64_t* starts, const int64_t* runs, const int64_t* offsets,
+    const int64_t* boxes, const int64_t* member_order,
+    const int64_t* member_bounds, int64_t n_groups,
+    int64_t* out_starts, int64_t* out_runs, int64_t* out_offsets,
+    int64_t* out_boxes) {
+    int64_t n_out = 0;
+    out_offsets[0] = 0;
+    std::vector<std::pair<int64_t, int64_t>> buf;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        buf.clear();
+        int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+        for (int64_t m = member_bounds[g]; m < member_bounds[g + 1]; ++m) {
+            const int64_t k = member_order[m];
+            const int64_t* bx = boxes + 4 * k;
+            if (m == member_bounds[g]) {
+                b0 = bx[0]; b1 = bx[1]; b2 = bx[2]; b3 = bx[3];
+            } else {
+                if (bx[0] < b0) b0 = bx[0];
+                if (bx[1] < b1) b1 = bx[1];
+                if (bx[2] > b2) b2 = bx[2];
+                if (bx[3] > b3) b3 = bx[3];
+            }
+            for (int64_t i = offsets[k]; i < offsets[k + 1]; ++i)
+                buf.emplace_back(starts[i], starts[i] + runs[i]);
+        }
+        std::sort(buf.begin(), buf.end());
+        bool open = false;
+        int64_t cs = 0, ce = -1;
+        for (const auto& r : buf) {
+            if (!open) { cs = r.first; ce = r.second; open = true; }
+            else if (r.first <= ce) { if (r.second > ce) ce = r.second; }
+            else {
+                out_starts[n_out] = cs;
+                out_runs[n_out] = ce - cs;
+                ++n_out;
+                cs = r.first; ce = r.second;
+            }
+        }
+        if (open) {
+            out_starts[n_out] = cs;
+            out_runs[n_out] = ce - cs;
+            ++n_out;
+        }
+        out_offsets[g + 1] = n_out;
+        out_boxes[4 * g] = b0; out_boxes[4 * g + 1] = b1;
+        out_boxes[4 * g + 2] = b2; out_boxes[4 * g + 3] = b3;
     }
     return n_out;
 }
@@ -692,6 +753,305 @@ int64_t runs_build_flat(
                            force_connected, connectivity, out_labels,
                            out_boxes, out_offsets, out_starts, out_runs,
                            out_n_inst);
+}
+
+// ---------------------------------------------------------------------------
+// Cross-slice matcher core (stitch/matcher.py::match_flat hot path).
+//
+// One call replaces the per-slice-pair Python/numpy chain (box screen ->
+// pairwise RLE intersections -> IoU/IoA edges -> union-find components ->
+// single-candidate assignment -> per-column IoA max) whose ~0.7 ms/pair
+// interpreter overhead dominates small-slice (ortho) sweeps on a 1-core
+// host.  Components where BOTH sides have > 1 member are spilled back as
+// (comp, row, col, iou) edges for the exact scipy Hungarian solve — the
+// rare case; everything else is decided here with semantics identical to
+// the numpy path (last-max-edge tie-break == lexsort-last, smallest-row
+// IoA argmax ties, float64 arithmetic in the same order).
+//
+// Box screen is the quadratic row-major test (same edge ORDER as
+// np.nonzero on the dense overlap mask); callers gate on n1*n2 so this
+// stays cheap.  Boxes are [lo_y, lo_x, hi_y, hi_x) half-open like the
+// numpy path's hi > lo test.  Returns the spill edge count, or -1 if
+// spill_cap would be exceeded (caller retries with a bigger buffer).
+// ---------------------------------------------------------------------------
+
+static inline int64_t rle_inter_sr(const int64_t* sa, const int64_t* ra,
+                                   int64_t na, const int64_t* sb,
+                                   const int64_t* rb, int64_t nb) {
+    int64_t i = 0, j = 0, total = 0;
+    while (i < na && j < nb) {
+        const int64_t a0 = sa[i], a1 = sa[i] + ra[i];
+        const int64_t b0 = sb[j], b1 = sb[j] + rb[j];
+        const int64_t lo = a0 > b0 ? a0 : b0;
+        const int64_t hi = a1 < b1 ? a1 : b1;
+        if (hi > lo) total += hi - lo;
+        if (a1 <= b1) ++i; else ++j;
+    }
+    return total;
+}
+
+int64_t match_flat_core(
+    const int64_t* boxes1, const int64_t* offs1, const int64_t* starts1,
+    const int64_t* runs1, const int64_t* areas1, int64_t n1,
+    const int64_t* boxes2, const int64_t* offs2, const int64_t* starts2,
+    const int64_t* runs2, const int64_t* areas2, int64_t n2,
+    double iou_thr,
+    int64_t* matched_row,                    // (n2) -1 = no single-comp match
+    double* col_max, int64_t* col_arg,       // (n2) IoA column stats
+    int64_t* spill, double* spill_vals, int64_t spill_cap) {
+    for (int64_t c = 0; c < n2; ++c) {
+        matched_row[c] = -1;
+        col_max[c] = 0.0;
+        col_arg[c] = 0;
+    }
+    std::vector<char> col_has(n2, 0);
+
+    // box-screened edges in row-major order; kept (iou > 0) edges feed the
+    // assignment, ALL screened edges feed the IoA column stats (numpy
+    // passes the unfiltered edge list to _col_max_arg)
+    std::vector<int64_t> er, ec;
+    std::vector<double> ev;
+    for (int64_t r = 0; r < n1; ++r) {
+        const int64_t* b1 = boxes1 + 4 * r;
+        for (int64_t c = 0; c < n2; ++c) {
+            const int64_t* b2 = boxes2 + 4 * c;
+            const int64_t lo0 = b1[0] > b2[0] ? b1[0] : b2[0];
+            const int64_t hi0 = b1[2] < b2[2] ? b1[2] : b2[2];
+            if (hi0 <= lo0) continue;
+            const int64_t lo1 = b1[1] > b2[1] ? b1[1] : b2[1];
+            const int64_t hi1 = b1[3] < b2[3] ? b1[3] : b2[3];
+            if (hi1 <= lo1) continue;
+            const int64_t inter = rle_inter_sr(
+                starts1 + offs1[r], runs1 + offs1[r], offs1[r + 1] - offs1[r],
+                starts2 + offs2[c], runs2 + offs2[c], offs2[c + 1] - offs2[c]);
+            const int64_t uni = areas1[r] + areas2[c] - inter;
+            const double iou =
+                uni > 0 ? (double)inter / (double)(uni < 1 ? 1 : uni) : 0.0;
+            const double ioa = areas2[c] > 0
+                ? (double)inter / (double)(areas2[c] < 1 ? 1 : areas2[c])
+                : 0.0;
+            // per-column IoA max; ties keep the SMALLEST row (dense argmax)
+            if (!col_has[c] || ioa > col_max[c] ||
+                (ioa == col_max[c] && r < col_arg[c])) {
+                col_has[c] = 1;
+                col_max[c] = ioa;
+                col_arg[c] = r;
+            }
+            if (iou > 0) {
+                er.push_back(r);
+                ec.push_back(c);
+                ev.push_back(iou);
+            }
+        }
+    }
+    const int64_t ne = (int64_t)er.size();
+    if (ne == 0) return 0;
+
+    // union-find over n1 + n2 nodes, union toward the smaller index so the
+    // root is each component's minimum node (numpy _uf_components)
+    std::vector<int64_t> parent(n1 + n2);
+    for (int64_t i = 0; i < n1 + n2; ++i) parent[i] = i;
+    auto find = [&parent](int64_t x) {
+        int64_t root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) {
+            int64_t nxt = parent[x];
+            parent[x] = root;
+            x = nxt;
+        }
+        return root;
+    };
+    for (int64_t k = 0; k < ne; ++k) {
+        int64_t ra = find(er[k]), rb = find(ec[k] + n1);
+        if (ra != rb) {
+            if (ra < rb) parent[rb] = ra; else parent[ra] = rb;
+        }
+    }
+    // component ids in ascending-root order == np.unique(roots) ranks
+    // (the root is the component's min node, seen first in node order)
+    std::vector<int64_t> comp_of(n1 + n2, -1);
+    std::vector<int64_t> rows_per, cols_per;
+    int64_t n_comp = 0;
+    for (int64_t i = 0; i < n1 + n2; ++i) {
+        int64_t root = find(i);
+        if (comp_of[root] == -1) {
+            comp_of[root] = n_comp++;
+            rows_per.push_back(0);
+            cols_per.push_back(0);
+        }
+        comp_of[i] = comp_of[root];
+        if (i < n1) rows_per[comp_of[i]] += 1;
+        else cols_per[comp_of[i]] += 1;
+    }
+
+    // best edge per component: max value, ties -> LAST edge in order
+    // (numpy lexsort((evals, comp)) takes the final entry per group)
+    std::vector<int64_t> best(n_comp, -1);
+    for (int64_t k = 0; k < ne; ++k) {
+        const int64_t c = comp_of[er[k]];
+        if (best[c] < 0 || ev[k] >= ev[best[c]]) best[c] = k;
+    }
+
+    int64_t n_spill = 0;
+    for (int64_t k = 0; k < ne; ++k) {
+        const int64_t c = comp_of[er[k]];
+        const int64_t rp = rows_per[c], cp = cols_per[c];
+        if (rp > 1 && cp > 1) {
+            if (n_spill >= spill_cap) return -1;
+            spill[3 * n_spill] = c;
+            spill[3 * n_spill + 1] = er[k];
+            spill[3 * n_spill + 2] = ec[k];
+            spill_vals[n_spill] = ev[k];
+            ++n_spill;
+        }
+    }
+    for (int64_t c = 0; c < n_comp; ++c) {
+        if (best[c] < 0) continue;
+        const int64_t rp = rows_per[c], cp = cols_per[c];
+        if ((rp <= 1 || cp <= 1) && ev[best[c]] >= iou_thr)
+            matched_row[ec[best[c]]] = er[best[c]];
+    }
+    return n_spill;
+}
+
+// ---------------------------------------------------------------------------
+// Small exact rectangular assignment (maximize), shortest-augmenting-path /
+// Jonker-Volgenant — the same algorithm family as scipy's
+// linear_sum_assignment.  Solves the matcher core's spilled components
+// (typically 2-6 nodes per side) without the per-component numpy/scipy
+// call overhead.  cost is row-major (nr, nc) with nr <= nc (caller
+// transposes); outputs col4row[r] = assigned column per row.
+// ---------------------------------------------------------------------------
+
+static void lsa_max_small(const double* value, int64_t nr, int64_t nc,
+                          int64_t* col4row) {
+    // minimize cost = -value (shortest augmenting path with potentials)
+    std::vector<double> u(nr, 0.0), v(nc, 0.0);
+    std::vector<int64_t> row4col(nc, -1);
+    for (int64_t r = 0; r < nr; ++r) col4row[r] = -1;
+    const double INF = std::numeric_limits<double>::infinity();
+    std::vector<double> shortest(nc);
+    std::vector<char> visited(nc);
+    std::vector<int64_t> pred(nc);
+    for (int64_t cur_row = 0; cur_row < nr; ++cur_row) {
+        std::fill(shortest.begin(), shortest.end(), INF);
+        std::fill(visited.begin(), visited.end(), 0);
+        int64_t sink = -1, i = cur_row;
+        double min_val = 0.0;
+        while (sink == -1) {
+            double lowest = INF;
+            int64_t lowest_c = -1;
+            for (int64_t c = 0; c < nc; ++c) {
+                if (visited[c]) continue;
+                const double cost = -value[i * nc + c];
+                const double path = min_val + cost - u[i] - v[c];
+                if (path < shortest[c]) {
+                    shortest[c] = path;
+                    pred[c] = i;
+                }
+                // strictly-lower keeps the FIRST minimal column on ties,
+                // matching scipy's scan order
+                if (shortest[c] < lowest) {
+                    lowest = shortest[c];
+                    lowest_c = c;
+                }
+            }
+            min_val = lowest;
+            int64_t j = lowest_c;
+            visited[j] = 1;
+            if (row4col[j] == -1) sink = j;
+            else i = row4col[j];
+        }
+        u[cur_row] += min_val;
+        for (int64_t r = 0; r < nr; ++r) {
+            if (r == cur_row) continue;
+            if (col4row[r] >= 0 && visited[col4row[r]])
+                u[r] += min_val - shortest[col4row[r]];
+        }
+        for (int64_t c = 0; c < nc; ++c)
+            if (visited[c]) v[c] -= min_val - shortest[c];
+        int64_t j = sink;
+        while (true) {
+            const int64_t r = pred[j];
+            row4col[j] = r;
+            const int64_t tmp = col4row[r];
+            col4row[r] = j;
+            if (r == cur_row) break;
+            j = tmp;
+        }
+    }
+}
+
+// Solve all spilled components in one call.  spill is (n_spill, 3) int64
+// [comp, row, col] SORTED BY COMP (match_flat_core emits edges in comp-
+// interleaved order; the caller sorts — or this sorts internally).  Keeps
+// assignments with value >= iou_thr.  Outputs matched (row, col) pairs;
+// returns the pair count (bounded by n_spill).
+// ---------------------------------------------------------------------------
+
+int64_t solve_spill(const int64_t* spill, const double* spill_vals,
+                    int64_t n_spill, double iou_thr,
+                    int64_t* out_rows, int64_t* out_cols) {
+    int64_t n_out = 0;
+    int64_t k = 0;
+    std::vector<int64_t> rs, cs;
+    std::vector<double> vals;
+    std::vector<int64_t> col4row;
+    std::vector<double> dense;
+    while (k < n_spill) {
+        const int64_t comp = spill[3 * k];
+        int64_t k1 = k;
+        while (k1 < n_spill && spill[3 * k1] == comp) ++k1;
+        // unique sorted member ids (edge endpoints cover every member)
+        rs.clear(); cs.clear();
+        for (int64_t e = k; e < k1; ++e) {
+            rs.push_back(spill[3 * e + 1]);
+            cs.push_back(spill[3 * e + 2]);
+        }
+        std::sort(rs.begin(), rs.end());
+        rs.erase(std::unique(rs.begin(), rs.end()), rs.end());
+        std::sort(cs.begin(), cs.end());
+        cs.erase(std::unique(cs.begin(), cs.end()), cs.end());
+        const int64_t nr = (int64_t)rs.size(), nc = (int64_t)cs.size();
+        dense.assign(nr * nc, 0.0);
+        for (int64_t e = k; e < k1; ++e) {
+            const int64_t ri = std::lower_bound(rs.begin(), rs.end(),
+                                                spill[3 * e + 1]) - rs.begin();
+            const int64_t ci = std::lower_bound(cs.begin(), cs.end(),
+                                                spill[3 * e + 2]) - cs.begin();
+            dense[ri * nc + ci] = spill_vals[e];
+        }
+        if (nr <= nc) {
+            col4row.assign(nr, -1);
+            lsa_max_small(dense.data(), nr, nc, col4row.data());
+            for (int64_t r = 0; r < nr; ++r) {
+                const int64_t c = col4row[r];
+                if (c >= 0 && dense[r * nc + c] >= iou_thr) {
+                    out_rows[n_out] = rs[r];
+                    out_cols[n_out] = cs[c];
+                    ++n_out;
+                }
+            }
+        } else {
+            // transpose so rows <= cols for the solver
+            std::vector<double> t(nc * nr);
+            for (int64_t r = 0; r < nr; ++r)
+                for (int64_t c = 0; c < nc; ++c)
+                    t[c * nr + r] = dense[r * nc + c];
+            col4row.assign(nc, -1);
+            lsa_max_small(t.data(), nc, nr, col4row.data());
+            for (int64_t c = 0; c < nc; ++c) {
+                const int64_t r = col4row[c];
+                if (r >= 0 && t[c * nr + r] >= iou_thr) {
+                    out_rows[n_out] = rs[r];
+                    out_cols[n_out] = cs[c];
+                    ++n_out;
+                }
+            }
+        }
+        k = k1;
+    }
+    return n_out;
 }
 
 // Packed variant: decodes ops.postprocess.encode_runs_packed rows

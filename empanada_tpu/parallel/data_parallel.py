@@ -500,7 +500,16 @@ class MultiChipEngine3d:
                 "pans": pans, "n_over": n_over}
 
     def _sweep_host(self, volume, handles, timer, progress: bool = False):
-        """Fetch + decode + match + track one dispatched sweep."""
+        """Fetch + decode + match + track one dispatched sweep.
+
+        Decode and matching run SYNCHRONOUSLY on the calling thread: by the
+        time a fused sweep is fetched, all of its device work is done (and
+        in the pipelined ortho mode, the next axis' compute needs no host
+        CPU), so the streamed path's MatcherWorker thread would only add
+        queue/context-switch overhead (~0.15 s per ortho pass on a 1-core
+        host, measured)."""
+        from empanada_tpu.stitch.patterns import (apply_matchers_flat,
+                                                  build_flat_seg)
         from empanada_tpu.utils import Progress
 
         axis_name = handles["axis_name"]
@@ -514,16 +523,13 @@ class MultiChipEngine3d:
             self.thing_list, self.label_divisor, self.merge_iou_thr,
             self.merge_ioa_thr,
         )
-        worker = MatcherWorker(matchers, self.labels, self.label_divisor,
-                               self.thing_list,
-                               force_connected=self.force_connected,
-                               build_workers=self.seg_build_workers)
         bar = Progress(total=n_slices, desc=f"axis {axis_name}",
                        enabled=progress)
         with timer.stage("fetch"):
             packed_np = np.asarray(handles["packed"])
         rcap = (packed_np.shape[-1] - 1) // 2
         pans_np = None
+        rle_stack = []
         with timer.stage("host_decode+enqueue"):
             for s in range(n_slices):
                 row_buf = packed_np[s // b, s % b]
@@ -532,13 +538,15 @@ class MultiChipEngine3d:
                     # this slice only (one indexed fetch; rare by sizing)
                     if pans_np is None:
                         pans_np = np.asarray(handles["pans"])
-                    worker.put(pans_np[s // b, s % b].astype(np.int64))
+                    item = pans_np[s // b, s % b].astype(np.int64)
                 else:
-                    worker.put(("packed", row_buf, w))
+                    item = ("packed", row_buf, w)
+                rle_seg = build_flat_seg(
+                    item, self.labels, self.label_divisor, self.thing_list,
+                    self.force_connected,
+                )
+                rle_stack.append(apply_matchers_flat(rle_seg, matchers))
                 bar.update()
-        with timer.stage("matcher_drain"):
-            rle_stack = worker.finish()
-        timer.add("matcher_busy", worker.stats["busy_s"])
         bar.close()
         self.last_overflow = int(handles["n_over"])
         if self.last_overflow:

@@ -147,6 +147,19 @@ def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
             out[lbl] = attrs[0] if len(attrs) == 1 else merge_attrs_many(attrs)
         return FlatInstances.from_dict(out)
 
+    member_bounds = np.concatenate([[0], np.cumsum(sizes)])
+    if mf.boxes.shape[1] == 4:
+        # one native call: per-group segment gather + range union + box
+        # reduce (the numpy chain below costs ~10 array ops per slice)
+        res = native.merge_groups_flat(
+            mf.starts, mf.runs, mf.offsets, mf.boxes, member_order,
+            member_bounds,
+        )
+        if res is not None:
+            out_starts, out_runs, out_offsets, gboxes = res
+            return FlatInstances(labels_ordered, gboxes, out_offsets,
+                                 out_starts, out_runs)
+
     # gather member run segments in group order (vectorized variable-length
     # segment gather)
     lens = np.diff(mf.offsets)
@@ -160,7 +173,6 @@ def _merge_collisions(mf: FlatInstances, new_labels, uniq, first_idx,
     s = mf.starts[idx]
     ranges = np.stack([s, s + mf.runs[idx]], axis=1)
 
-    member_bounds = np.concatenate([[0], np.cumsum(sizes)])
     group_offsets = out_off_members[member_bounds]
     merged, out_offsets = native.batch_range_union(ranges, group_offsets)
 
@@ -537,6 +549,42 @@ def _assign_edges(n1, n2, erows, ecols, evals, iou_thr):
     return mr, mc
 
 
+# native matcher-core gate: the C++ box screen is the quadratic row-major
+# test, so bound the pair product (an EM-density 512^2 slice pair is ~130k)
+_CORE_MAX_PAIRS = 1 << 19
+
+
+def _solve_spill(spill, spill_vals, iou_thr):
+    """Exact Hungarian resolution of the components the native core spilled
+    (both sides > 1 member) — identical math to _assign_edges' multi branch:
+    per component, a dense submatrix over the sorted member sets, an exact
+    max-assignment solve, then the IoU threshold filter.  The native
+    shortest-augmenting-path solver handles it in one call (same algorithm
+    family as scipy; exact agreement fuzz-gated in tests/test_native_fuzz);
+    scipy per component is the fallback."""
+    try:
+        from empanada_tpu.core import native
+
+        res = native.solve_spill(spill, spill_vals, iou_thr)
+        if res is not None:
+            return res
+    except ImportError:
+        pass
+    out_r, out_c = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for c in np.unique(spill[:, 0]):
+        es = np.flatnonzero(spill[:, 0] == c)
+        r = np.unique(spill[es, 1])
+        k = np.unique(spill[es, 2])
+        sub = np.zeros((len(r), len(k)))
+        sub[np.searchsorted(r, spill[es, 1]),
+            np.searchsorted(k, spill[es, 2])] = spill_vals[es]
+        sr, sc = linear_sum_assignment(sub, maximize=True)
+        keep = sub[sr, sc] >= iou_thr
+        out_r.append(r[sr][keep])
+        out_c.append(k[sc][keep])
+    return np.concatenate(out_r), np.concatenate(out_c)
+
+
 def _col_max_arg(n2, erows, ecols, evals):
     """Per-column (max, argmax-row) of an edge-sparse matrix — equal to
     dense ``.max(axis=0)`` / ``.argmax(axis=0)`` over screened pairs,
@@ -654,21 +702,46 @@ class RLEMatcher:
             col_max = np.zeros(n2)
             col_arg = np.zeros(n2, np.int64)
         else:
-            box_matches = overlapping_box_pairs(tf.boxes, mf.boxes)
-            if len(box_matches):
-                inters = _batch_intersections_flat(tf, mf, box_matches)
-                r1 = box_matches[:, 0]
-                r2 = box_matches[:, 1]
-                union = tf.areas[r1] + mf.areas[r2] - inters
-                iou = np.where(union > 0, inters / np.maximum(union, 1), 0.0)
-                a2 = mf.areas[r2]
-                ioa = np.where(a2 > 0, inters / np.maximum(a2, 1), 0.0)
+            core = None
+            if len(tf) * n2 <= _CORE_MAX_PAIRS:
+                try:
+                    from empanada_tpu.core import native
+
+                    if native.available():
+                        # one native call covers box screen + intersections
+                        # + IoU edges + components + single-candidate
+                        # assignment + IoA column stats — the ~0.7 ms/pair
+                        # numpy chain below costs more in interpreter
+                        # overhead than math at ortho slice sizes
+                        core = native.match_flat_core(
+                            tf, mf, self.merge_iou_thr)
+                except ImportError:
+                    core = None
+            if core is not None:
+                matched_row, col_max, col_arg, spill, spill_vals = core
+                mc = np.flatnonzero(matched_row >= 0)
+                mr = matched_row[mc]
+                if len(spill):
+                    mr2, mc2 = _solve_spill(spill, spill_vals,
+                                            self.merge_iou_thr)
+                    mr = np.concatenate([mr, mr2])
+                    mc = np.concatenate([mc, mc2])
             else:
-                r1 = r2 = np.empty(0, np.int64)
-                iou = ioa = np.empty(0)
-            mr, mc = _assign_edges(len(tf), n2, r1, r2, iou,
-                                   self.merge_iou_thr)
-            col_max, col_arg = _col_max_arg(n2, r1, r2, ioa)
+                box_matches = overlapping_box_pairs(tf.boxes, mf.boxes)
+                if len(box_matches):
+                    inters = _batch_intersections_flat(tf, mf, box_matches)
+                    r1 = box_matches[:, 0]
+                    r2 = box_matches[:, 1]
+                    union = tf.areas[r1] + mf.areas[r2] - inters
+                    iou = np.where(union > 0, inters / np.maximum(union, 1), 0.0)
+                    a2 = mf.areas[r2]
+                    ioa = np.where(a2 > 0, inters / np.maximum(a2, 1), 0.0)
+                else:
+                    r1 = r2 = np.empty(0, np.int64)
+                    iou = ioa = np.empty(0)
+                mr, mc = _assign_edges(len(tf), n2, r1, r2, iou,
+                                       self.merge_iou_thr)
+                col_max, col_arg = _col_max_arg(n2, r1, r2, ioa)
 
         new_labels = np.empty(n2, dtype=np.int64)
         is_matched = np.zeros(n2, dtype=bool)

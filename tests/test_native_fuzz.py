@@ -298,3 +298,53 @@ def test_build_flat_fuzz():
                                   slow[1][key]["starts"]), seed
             assert np.array_equal(fast[1][key]["runs"],
                                   slow[1][key]["runs"]), seed
+
+
+def test_match_flat_core_fuzz():
+    """Native matcher core (csrc match_flat_core + python spill solve) vs
+    the pure-numpy edge path: byte-identical FlatInstances output across
+    random blob slice pairs and threshold settings — box screen order,
+    tie-breaks, float division order and the Hungarian spill must all
+    agree exactly."""
+    import empanada_tpu.stitch.matcher as M
+    from empanada_tpu.core.labeling import FlatInstances
+    from empanada_tpu.stitch.rle_seg import pan_seg_to_rle_seg
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+
+    def rand_flat(seed, n_blobs, h=48, w=48, label0=1001):
+        r = np.random.default_rng(seed)
+        seg = np.zeros((h, w), np.int64)
+        for i in range(n_blobs):
+            cy, cx = r.integers(4, h - 4), r.integers(4, w - 4)
+            ry, rx = r.integers(2, 8), r.integers(2, 8)
+            yy, xx = np.ogrid[:h, :w]
+            seg[((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1] = label0 + i
+        d = pan_seg_to_rle_seg(seg, [1], 1000, [1], force_connected=True)[1]
+        return FlatInstances.from_dict(d)
+
+    for trial in range(60):
+        tf = rand_flat(trial * 2, int(rng.integers(0, 12)))
+        mf = rand_flat(trial * 2 + 1, int(rng.integers(0, 12)))
+        for thr_i, thr_a in ((0.25, 0.25), (0.05, 0.5)):
+            outs = []
+            for force_numpy in (False, True):
+                m = M.RLEMatcher(1, 1000, merge_iou_thr=thr_i,
+                                 merge_ioa_thr=thr_a)
+                m.initialize_target_flat(tf)
+                old = M._CORE_MAX_PAIRS
+                if force_numpy:
+                    M._CORE_MAX_PAIRS = -1
+                try:
+                    outs.append(m.match_flat(mf, update_target=False))
+                finally:
+                    M._CORE_MAX_PAIRS = old
+            a, b = outs
+            assert np.array_equal(a.labels, b.labels), trial
+            assert np.array_equal(a.boxes, b.boxes), trial
+            assert np.array_equal(a.offsets, b.offsets), trial
+            assert np.array_equal(a.starts, b.starts), trial
+            assert np.array_equal(a.runs, b.runs), trial
