@@ -15,19 +15,24 @@ Baseline: the reference's own CPU-torch path (its QuantizablePanopticDeepLabPR
 measured on this host = 0.142 Mvox/s (single-core host; re-measure with
 --measure-baseline).  The reference publishes no numbers (BASELINE.md).
 
-Current: ~84 Mvox/s/chip (~590x CPU-torch).  History: 32.4 (first jit
+Current: ~100 Mvox/s/chip at MFU ~0.31.  History: 32.4 (first jit
 pipeline) -> 68.3 (device-pipeline overlap, one-hot-matmul postprocess) ->
 75.9 (space-to-depth stem rewrite, radix-select PointRend threshold,
 launch-overhead-cancelled timing; inputs switched to blob-structured like
 the reference's test fixtures — noise is pathological for PointRend) ->
 83.8 (corner-packed single-gather point_sample, split-dense low-res
-PointRend FC head).
+PointRend FC head) -> 102.6 (round 5: fused coarse-grid merge replaces the
+dense merge in the measured pipeline — postprocess stage 4.2 ms -> ~0,
+matching the production engine; logit-space hardening; segment-packed
+single-operand top-k for the K=8192 render select).
 
-int8 A/B (--int8, round 2): selective s8xs8 MXU execution for wide 3x3
-encoder convs measures ~2x on isolated stage4 dilated convs
-(benchmarks/profile_int8.py) but only +1.8% end-to-end (75.5 -> 76.9
-Mvox/s on v5e) — the quantize/rescale ops break XLA fusion between convs.
-bf16 stays the default; int8_execution=True is the measured opt-in.
+int8 A/B (--int8): selective s8xs8 MXU execution for wide 3x3 encoder
+convs measures ~2x on isolated stage4 dilated convs
+(benchmarks/profile_int8.py) but only +1.8% end-to-end in round 2 and
++2.3% when re-measured on the round-5 byte-reduced pipeline (85.2 -> 87.2
+Mvox/s, same-process back-to-back) — the quantize/rescale ops break XLA
+fusion between convs.  bf16 stays the default; int8_execution=True is the
+measured opt-in.
 
 Stage shares (round 3, --only stages, v5e): encoder 23% @ MFU 0.51,
 decoders 15% @ 0.71, heads+render 58% @ 0.12, postprocess 3%.  The
@@ -559,13 +564,16 @@ def bench_stages(pipeline_batch, variables, images, int8: bool = False):
     ]
     out = {
         "ridge_flops_per_byte": round(ridge, 1),
-        # measured A/B verdict (benchmarks/profile_ab_render.py, re-run under
-        # the r3 overflow-free config): the tile-masked fused Pallas render
-        # kernel loses to the XLA dense-hybrid at K=8192 on <=8K-point grids
-        # (nearly every (16x128) tile holds an uncertain point), so
-        # fused_render stays 'never' on this workload; 'always' remains the
-        # opt-in for concentrated-uncertainty workloads (point_rend.py:215).
-        "render_ab": "xla-hybrid wins at K=8192/512^2; fused kernel off",
+        # measured A/B verdict (re-run round 5 on the byte-reduced pipeline,
+        # per-step marginals: step1 XLA 1.4 ms vs fused-kernel +4.4 ms;
+        # step2 XLA 7.5 ms vs fused 8.4 ms): the tile-masked fused Pallas
+        # render kernel loses at BOTH subdivision steps at K=8192 (nearly
+        # every (16x128) tile holds an uncertain point), so fused_render
+        # stays 'never' on this workload; 'always' remains the opt-in for
+        # concentrated-uncertainty workloads (point_rend.py:215).
+        "render_ab": "xla-hybrid wins both steps at K=8192/512^2 "
+                     "(r5 re-A/B: step1 1.4 vs 5.8, step2 7.5 vs 8.4 ms); "
+                     "fused kernel off",
     }
     # Monotone-prefix attribution (VERDICT r4 weak #1: the r4 JSON shipped
     # NEGATIVE stage times from nested-prefix deltas under ±40% tunnel
