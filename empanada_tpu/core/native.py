@@ -134,6 +134,14 @@ def _load():
         vp, vp, vp, vp, vp, vp, ctypes.c_int64, vp, vp, vp, vp]
     lib.merge_groups_flat.restype = ctypes.c_int64
 
+    lib.match_sweep.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+        vp, vp, vp, vp, vp, vp]
+    lib.match_sweep.restype = ctypes.c_int64
+
     _LIB = lib
     return _LIB
 
@@ -507,6 +515,57 @@ def merge_groups_flat(starts, runs, offsets, boxes, member_order,
         out_offsets.ctypes.data, out_boxes.ctypes.data,
     )
     return out_starts[:n], out_runs[:n], out_offsets, out_boxes
+
+
+def match_sweep(packed_slices: np.ndarray, width: int, min_id: int,
+                max_id: int, force_connected: bool, iou_thr: float,
+                ioa_thr: float, next_label_start: int,
+                connectivity: int = 8):
+    """Whole-sweep seg build + forward matching + backward matching for one
+    class, no Python between slices (csrc match_sweep — byte-identical to
+    the stitch.patterns forward/backward loops, fuzz-gated).
+
+    ``packed_slices``: (n_slices, H, 2R+1) int16 device-packed rows.
+    Returns a list of per-slice FlatInstances field tuples (the BACKWARD
+    pass results, what update_trackers consumes), ``"fallback"`` when any
+    slice overflows its packed/CC capacity (caller takes the Python path,
+    which raises the proper diagnostics), or None if the native lib is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(packed_slices, dtype=np.int16)
+    s_n, h, twr = buf.shape
+    rcap = (twr - 1) // 2
+    run_cap = max(1, int(s_n * h * rcap))
+    slice_off = np.empty(s_n + 1, dtype=np.int64)
+    labels = np.empty(run_cap, dtype=np.int64)
+    boxes = np.empty((run_cap, 4), dtype=np.int64)
+    run_off = np.empty(run_cap + 1, dtype=np.int64)
+    starts = np.empty(run_cap, dtype=np.int64)
+    runs = np.empty(run_cap, dtype=np.int64)
+    n = lib.match_sweep(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        s_n, h * twr, h, rcap, int(width),
+        int(min_id), int(max_id), int(force_connected), int(connectivity),
+        float(iou_thr), float(ioa_thr), int(next_label_start),
+        slice_off.ctypes.data, labels.ctypes.data, boxes.ctypes.data,
+        run_off.ctypes.data, starts.ctypes.data, runs.ctypes.data,
+    )
+    if n < 0:
+        return "fallback"
+    out = []
+    for s in range(s_n):
+        k0, k1 = int(slice_off[s]), int(slice_off[s + 1])
+        r0 = int(run_off[k0]) if k1 > k0 else 0
+        r1 = int(run_off[k1]) if k1 > k0 else 0
+        out.append((
+            labels[k0:k1].copy(), boxes[k0:k1].copy(),
+            (run_off[k0:k1 + 1] - run_off[k0]).copy()
+            if k1 > k0 else np.zeros(1, np.int64),
+            starts[r0:r1].copy(), runs[r0:r1].copy(),
+        ))
+    return out
 
 
 def solve_spill(spill: np.ndarray, spill_vals: np.ndarray, iou_thr: float):

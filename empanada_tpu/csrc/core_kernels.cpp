@@ -1054,6 +1054,313 @@ int64_t solve_spill(const int64_t* spill, const double* spill_vals,
     return n_out;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-sweep matcher: per-slice seg build + forward matching + backward
+// matching for ONE class over a packed sweep buffer, no Python between
+// slices.  Semantics replicate stitch/matcher.py::RLEMatcher.match_flat +
+// stitch/patterns.py::forward_matching/backward_matching byte-for-byte
+// (same edge order, tie-breaks, float division order, first-appearance
+// collision-group order); gated by a byte-identical fuzz test.
+// ---------------------------------------------------------------------------
+
+int64_t packed_build_flat(
+    const int16_t* packed, int64_t h, int64_t rcap, int64_t width,
+    int64_t min_id, int64_t max_id, int force_connected, int connectivity,
+    int64_t* out_labels, int64_t* out_boxes, int64_t* out_offsets,
+    int64_t* out_starts, int64_t* out_runs, int64_t* out_n_inst);
+
+namespace {
+
+struct FlatV {
+    std::vector<int64_t> labels, boxes, offs, starts, runs, areas;
+    int64_t size() const { return (int64_t)labels.size(); }
+    void compute_areas() {
+        areas.assign(labels.size(), 0);
+        for (size_t k = 0; k < labels.size(); ++k)
+            for (int64_t i = offs[k]; i < offs[k + 1]; ++i)
+                areas[k] += runs[i];
+    }
+};
+
+// one matcher step: match mf against tf, producing out (the new target).
+// Mirrors RLEMatcher.match_flat exactly.
+void match_pair(const FlatV& tf, const FlatV& mf, double iou_thr,
+                double ioa_thr, bool assign_new, int64_t& next_label,
+                FlatV& out) {
+    const int64_t n1 = tf.size(), n2 = mf.size();
+    std::vector<int64_t> matched_row(n2, -1);
+    std::vector<double> col_max(n2, 0.0);
+    std::vector<int64_t> col_arg(n2, 0);
+
+    if (n1 > 0 && n2 > 0) {
+        std::vector<char> col_has(n2, 0);
+        std::vector<int64_t> er, ec;
+        std::vector<double> ev;
+        for (int64_t r = 0; r < n1; ++r) {
+            const int64_t* b1 = tf.boxes.data() + 4 * r;
+            for (int64_t c = 0; c < n2; ++c) {
+                const int64_t* b2 = mf.boxes.data() + 4 * c;
+                const int64_t lo0 = b1[0] > b2[0] ? b1[0] : b2[0];
+                const int64_t hi0 = b1[2] < b2[2] ? b1[2] : b2[2];
+                if (hi0 <= lo0) continue;
+                const int64_t lo1 = b1[1] > b2[1] ? b1[1] : b2[1];
+                const int64_t hi1 = b1[3] < b2[3] ? b1[3] : b2[3];
+                if (hi1 <= lo1) continue;
+                const int64_t inter = rle_inter_sr(
+                    tf.starts.data() + tf.offs[r], tf.runs.data() + tf.offs[r],
+                    tf.offs[r + 1] - tf.offs[r],
+                    mf.starts.data() + mf.offs[c], mf.runs.data() + mf.offs[c],
+                    mf.offs[c + 1] - mf.offs[c]);
+                const int64_t uni = tf.areas[r] + mf.areas[c] - inter;
+                const double iou = uni > 0
+                    ? (double)inter / (double)(uni < 1 ? 1 : uni) : 0.0;
+                const double ioa = mf.areas[c] > 0
+                    ? (double)inter / (double)(mf.areas[c] < 1 ? 1 : mf.areas[c])
+                    : 0.0;
+                if (!col_has[c] || ioa > col_max[c] ||
+                    (ioa == col_max[c] && r < col_arg[c])) {
+                    col_has[c] = 1;
+                    col_max[c] = ioa;
+                    col_arg[c] = r;
+                }
+                if (iou > 0) {
+                    er.push_back(r); ec.push_back(c); ev.push_back(iou);
+                }
+            }
+        }
+        const int64_t ne = (int64_t)er.size();
+        if (ne > 0) {
+            std::vector<int64_t> parent(n1 + n2);
+            for (int64_t i = 0; i < n1 + n2; ++i) parent[i] = i;
+            for (int64_t k = 0; k < ne; ++k)
+                uf_union(parent, er[k], ec[k] + n1);
+            std::vector<int64_t> comp_of(n1 + n2, -1);
+            std::vector<int64_t> rows_per, cols_per;
+            int64_t n_comp = 0;
+            for (int64_t i = 0; i < n1 + n2; ++i) {
+                int64_t root = uf_find(parent, i);
+                if (comp_of[root] == -1) {
+                    comp_of[root] = n_comp++;
+                    rows_per.push_back(0);
+                    cols_per.push_back(0);
+                }
+                comp_of[i] = comp_of[root];
+                if (i < n1) rows_per[comp_of[i]] += 1;
+                else cols_per[comp_of[i]] += 1;
+            }
+            std::vector<int64_t> best(n_comp, -1);
+            for (int64_t k = 0; k < ne; ++k) {
+                const int64_t c = comp_of[er[k]];
+                if (best[c] < 0 || ev[k] >= ev[best[c]]) best[c] = k;
+            }
+            std::vector<int64_t> spill;
+            std::vector<double> spill_vals;
+            for (int64_t k = 0; k < ne; ++k) {
+                const int64_t c = comp_of[er[k]];
+                if (rows_per[c] > 1 && cols_per[c] > 1) {
+                    spill.push_back(c);
+                    spill.push_back(er[k]);
+                    spill.push_back(ec[k]);
+                    spill_vals.push_back(ev[k]);
+                }
+            }
+            for (int64_t c = 0; c < n_comp; ++c) {
+                if (best[c] < 0) continue;
+                if ((rows_per[c] <= 1 || cols_per[c] <= 1) &&
+                    ev[best[c]] >= iou_thr)
+                    matched_row[ec[best[c]]] = er[best[c]];
+            }
+            if (!spill.empty()) {
+                // comp ids already grouped? edges are comp-interleaved;
+                // stable sort by comp like the python wrapper
+                const int64_t ns = (int64_t)spill_vals.size();
+                std::vector<int64_t> ord(ns);
+                for (int64_t i = 0; i < ns; ++i) ord[i] = i;
+                std::stable_sort(ord.begin(), ord.end(),
+                                 [&](int64_t a, int64_t b) {
+                                     return spill[3 * a] < spill[3 * b];
+                                 });
+                std::vector<int64_t> sp(3 * ns);
+                std::vector<double> sv(ns);
+                for (int64_t i = 0; i < ns; ++i) {
+                    sp[3 * i] = spill[3 * ord[i]];
+                    sp[3 * i + 1] = spill[3 * ord[i] + 1];
+                    sp[3 * i + 2] = spill[3 * ord[i] + 2];
+                    sv[i] = spill_vals[ord[i]];
+                }
+                std::vector<int64_t> orow(ns), ocol(ns);
+                const int64_t nm = solve_spill(sp.data(), sv.data(), ns,
+                                               iou_thr, orow.data(),
+                                               ocol.data());
+                for (int64_t i = 0; i < nm; ++i)
+                    matched_row[ocol[i]] = orow[i];
+            }
+        }
+    }
+
+    // label assignment (match_flat: matched -> target label; unmatched
+    // absorb on IoA; fresh -> next_label counter or kept labels)
+    std::vector<int64_t> new_labels(n2);
+    for (int64_t c = 0; c < n2; ++c) {
+        if (matched_row[c] >= 0) new_labels[c] = tf.labels[matched_row[c]];
+        else if (col_max[c] >= ioa_thr) new_labels[c] = tf.labels[col_arg[c]];
+        else if (assign_new) new_labels[c] = next_label++;
+        else new_labels[c] = mf.labels[c];
+    }
+
+    // collision merge (matcher._merge_collisions): groups in first-
+    // appearance order, members in original order, runs unioned, boxes
+    // reduced; no collisions -> arrays pass through with new labels
+    std::vector<int64_t> first_of;        // group -> first member
+    std::vector<int64_t> group_of(n2);
+    {
+        // first-seen group ids
+        std::vector<std::pair<int64_t, int64_t>> seen;  // (label, group)
+        for (int64_t c = 0; c < n2; ++c) {
+            int64_t g = -1;
+            for (const auto& p : seen)
+                if (p.first == new_labels[c]) { g = p.second; break; }
+            if (g == -1) {
+                g = (int64_t)first_of.size();
+                seen.emplace_back(new_labels[c], g);
+                first_of.push_back(c);
+            }
+            group_of[c] = g;
+        }
+    }
+    const int64_t n_groups = (int64_t)first_of.size();
+    out.labels.clear(); out.boxes.clear(); out.offs.clear();
+    out.starts.clear(); out.runs.clear();
+    out.offs.push_back(0);
+    if (n_groups == n2) {
+        out.labels = new_labels;
+        out.boxes = mf.boxes;
+        out.offs = mf.offs;
+        out.starts = mf.starts;
+        out.runs = mf.runs;
+        out.areas = mf.areas;
+        return;
+    }
+    std::vector<std::pair<int64_t, int64_t>> buf;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        out.labels.push_back(new_labels[first_of[g]]);
+        buf.clear();
+        int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+        bool first = true;
+        for (int64_t c = 0; c < n2; ++c) {
+            if (group_of[c] != g) continue;
+            const int64_t* bx = mf.boxes.data() + 4 * c;
+            if (first) { b0 = bx[0]; b1 = bx[1]; b2 = bx[2]; b3 = bx[3];
+                         first = false; }
+            else {
+                if (bx[0] < b0) b0 = bx[0];
+                if (bx[1] < b1) b1 = bx[1];
+                if (bx[2] > b2) b2 = bx[2];
+                if (bx[3] > b3) b3 = bx[3];
+            }
+            for (int64_t i = mf.offs[c]; i < mf.offs[c + 1]; ++i)
+                buf.emplace_back(mf.starts[i], mf.starts[i] + mf.runs[i]);
+        }
+        std::sort(buf.begin(), buf.end());
+        bool open = false;
+        int64_t cs = 0, ce = -1;
+        for (const auto& r : buf) {
+            if (!open) { cs = r.first; ce = r.second; open = true; }
+            else if (r.first <= ce) { if (r.second > ce) ce = r.second; }
+            else {
+                out.starts.push_back(cs);
+                out.runs.push_back(ce - cs);
+                cs = r.first; ce = r.second;
+            }
+        }
+        if (open) { out.starts.push_back(cs); out.runs.push_back(ce - cs); }
+        out.offs.push_back((int64_t)out.starts.size());
+        out.boxes.push_back(b0); out.boxes.push_back(b1);
+        out.boxes.push_back(b2); out.boxes.push_back(b3);
+    }
+    out.compute_areas();
+}
+
+}  // namespace
+
+// Full forward+backward matching over a packed sweep for one class.
+// Returns total output runs of the BACKWARD pass, -1 on packed-capacity
+// overflow of any slice, -2 on per-slice CC-label overflow (caller falls
+// back to the Python path, which raises the proper error).
+// out_slice_off (n_slices+1): per-slice instance-count offsets;
+// out_run_off (inst+1): per-instance run offsets (global).
+int64_t match_sweep(
+    const int16_t* packed, int64_t n_slices, int64_t slice_stride,
+    int64_t h, int64_t rcap, int64_t width,
+    int64_t min_id, int64_t max_id, int force_connected, int connectivity,
+    double iou_thr, double ioa_thr, int64_t next_label_start,
+    int64_t* out_slice_off, int64_t* out_labels, int64_t* out_boxes,
+    int64_t* out_run_off, int64_t* out_starts, int64_t* out_runs) {
+    const int64_t cap = h * rcap;
+    std::vector<int64_t> tl(cap), tb(4 * cap), to(cap + 1), ts(cap), tr(cap);
+    std::vector<FlatV> fstack(n_slices);
+    int64_t next_label = next_label_start;
+
+    for (int64_t s = 0; s < n_slices; ++s) {
+        int64_t n_inst = 0;
+        const int64_t n_out = packed_build_flat(
+            packed + s * slice_stride, h, rcap, width, min_id, max_id,
+            force_connected, connectivity, tl.data(), tb.data(), to.data(),
+            ts.data(), tr.data(), &n_inst);
+        if (n_out < 0) return -1;
+        if (force_connected && n_inst >= max_id - min_id) return -2;
+        FlatV built;
+        built.labels.assign(tl.begin(), tl.begin() + n_inst);
+        built.boxes.assign(tb.begin(), tb.begin() + 4 * n_inst);
+        built.offs.assign(to.begin(), to.begin() + n_inst + 1);
+        built.starts.assign(ts.begin(), ts.begin() + n_out);
+        built.runs.assign(tr.begin(), tr.begin() + n_out);
+        built.compute_areas();
+        if (s == 0) {
+            // initialize_target_flat: first slice passes through
+            if (built.size() > 0) {
+                int64_t mx = built.labels[0];
+                for (int64_t l : built.labels) if (l > mx) mx = l;
+                next_label = mx + 1;
+            }
+            fstack[0] = std::move(built);
+        } else {
+            match_pair(fstack[s - 1], built, iou_thr, ioa_thr,
+                       /*assign_new=*/true, next_label, fstack[s]);
+        }
+    }
+
+    // backward pass: reversed, assign_new=False, last slice passes through
+    std::vector<FlatV> bstack(n_slices);
+    for (int64_t s = n_slices - 1; s >= 0; --s) {
+        if (s == n_slices - 1) bstack[s] = fstack[s];
+        else
+            match_pair(bstack[s + 1], fstack[s], iou_thr, ioa_thr,
+                       /*assign_new=*/false, next_label, bstack[s]);
+    }
+
+    int64_t inst_total = 0, run_total = 0;
+    out_slice_off[0] = 0;
+    out_run_off[0] = 0;
+    for (int64_t s = 0; s < n_slices; ++s) {
+        const FlatV& f = bstack[s];
+        for (int64_t k = 0; k < f.size(); ++k) {
+            out_labels[inst_total] = f.labels[k];
+            for (int64_t d = 0; d < 4; ++d)
+                out_boxes[4 * inst_total + d] = f.boxes[4 * k + d];
+            for (int64_t i = f.offs[k]; i < f.offs[k + 1]; ++i) {
+                out_starts[run_total] = f.starts[i];
+                out_runs[run_total] = f.runs[i];
+                ++run_total;
+            }
+            ++inst_total;
+            out_run_off[inst_total] = run_total;
+        }
+        out_slice_off[s + 1] = inst_total;
+    }
+    return run_total;
+}
+
 // Packed variant: decodes ops.postprocess.encode_runs_packed rows
 // ([starts(R) | values(R) | count] int16 per image row, values stored
 // unsigned) straight into the builder — the drainer hands the raw device

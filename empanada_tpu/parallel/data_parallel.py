@@ -528,6 +528,58 @@ class MultiChipEngine3d:
         with timer.stage("fetch"):
             packed_np = np.asarray(handles["packed"])
         rcap = (packed_np.shape[-1] - 1) // 2
+        rows = packed_np.reshape(-1, *packed_np.shape[2:])[:n_slices]
+        self.last_overflow = int(handles["n_over"])
+        if self.last_overflow:
+            import sys
+
+            print(
+                f"warning: axis {axis_name}: up to {self.last_overflow} NMS "
+                f"centers per slice exceeded max_centers={self.max_centers} "
+                "and were dropped (instances merged into nearest neighbors) "
+                "— rerun with a larger max_centers",
+                file=sys.stderr,
+            )
+
+        # fastest path: the ENTIRE sweep's seg build + forward matching +
+        # backward matching in one native call per class (csrc match_sweep;
+        # byte-identical to the Python loops below, fuzz-gated) — the
+        # per-slice Python/numpy glue is the dominant host cost on this
+        # path.  Falls back on packed/CC overflow or a missing native lib.
+        if not (rows[..., -1] > rcap).any():
+            from empanada_tpu.core import native
+
+            per_class = {}
+            for label in self.labels:
+                fc = self.force_connected and label in self.thing_list
+                min_id = label * self.label_divisor
+                with timer.stage("host_decode+enqueue"):
+                    res = native.match_sweep(
+                        rows, w, min_id, min_id + self.label_divisor, fc,
+                        self.merge_iou_thr, self.merge_ioa_thr,
+                        min_id + 1,
+                    )
+                if not isinstance(res, list):
+                    per_class = None
+                    break
+                per_class[label] = res
+            if per_class is not None:
+                from empanada_tpu.core.labeling import FlatInstances
+
+                bar.n = n_slices
+                bar.close()
+                # same reverse order as the backward_matching generator so
+                # tracker insertion order is identical
+                with timer.stage("backward_matching"):
+                    for idx in range(n_slices - 1, -1, -1):
+                        for tracker in trackers:
+                            tracker.update(
+                                FlatInstances(*per_class[tracker.class_id][idx]),
+                                idx,
+                            )
+                return self._finalize_trackers(trackers, volume, axis_name,
+                                               timer)
+
         pans_np = None
         rle_stack = []
         with timer.stage("host_decode+enqueue"):
@@ -548,17 +600,6 @@ class MultiChipEngine3d:
                 rle_stack.append(apply_matchers_flat(rle_seg, matchers))
                 bar.update()
         bar.close()
-        self.last_overflow = int(handles["n_over"])
-        if self.last_overflow:
-            import sys
-
-            print(
-                f"warning: axis {axis_name}: up to {self.last_overflow} NMS "
-                f"centers per slice exceeded max_centers={self.max_centers} "
-                "and were dropped (instances merged into nearest neighbors) "
-                "— rerun with a larger max_centers",
-                file=sys.stderr,
-            )
         return self._finish_axis(rle_stack, matchers, trackers, volume,
                                  axis_name, timer)
 
@@ -962,6 +1003,12 @@ class MultiChipEngine3d:
         with timer.stage("backward_matching"):
             for index, rle_seg in backward_matching(rle_stack, matchers, n_slices):
                 update_trackers(rle_seg, index, trackers)
+        return self._finalize_trackers(trackers, volume, axis_name, timer)
+
+    def _finalize_trackers(self, trackers, volume, axis_name: str, timer):
+        """Finish + filter trackers and optionally fill the output volume —
+        the tail shared by the Python backward pass and the native
+        match_sweep path (which arrives with trackers already updated)."""
         finish_tracking(trackers)
         for tracker in trackers:
             filters.remove_small_objects(tracker, min_size=self.min_size)

@@ -147,18 +147,48 @@ class InstanceTracker:
                 inst["runs"].append(runs)
 
     def finish(self):
+        if self.axis == "yz":
+            # batched re-encode: the per-voxel yz runs of ALL instances are
+            # sorted in ONE pass via the key id * prod(shape3d) + voxel
+            # (voxel < prod, so runs can never merge across instances:
+            # consecutive keys imply same id), then run-length encoded
+            # vectorized and split back per instance — the per-instance
+            # sort+encode loop dominated 256^3 ortho tracking on 1-core
+            # hosts
+            pending = [(k, v) for k, v in self.instances.items()
+                       if isinstance(v["starts"], list)]
+            if pending:
+                prod = int(np.prod(self.shape3d))
+                # ONE concatenate over every instance's per-slice chunks
+                # (per-instance concats of many tiny arrays dominate)
+                chunks, chunk_ids = [], []
+                for gi, (_, v) in enumerate(pending):
+                    chunks.extend(v["starts"])
+                    chunk_ids.extend([gi] * len(v["starts"]))
+                lens = np.fromiter((len(c) for c in chunks), np.int64,
+                                   count=len(chunks))
+                ids = np.repeat(np.asarray(chunk_ids, dtype=np.int64), lens)
+                keys = np.concatenate(chunks) + ids * prod
+                keys.sort(kind="stable")
+                starts_all, runs_all = rle_encode(keys)
+                run_ids = starts_all // prod
+                starts_all = starts_all - run_ids * prod
+                bounds = np.searchsorted(run_ids,
+                                         np.arange(len(pending) + 1))
+                for gi, (_, inst) in enumerate(pending):
+                    inst["starts"] = starts_all[bounds[gi]:bounds[gi + 1]]
+                    inst["runs"] = runs_all[bounds[gi]:bounds[gi + 1]]
+            self.finished = True
+            return
         for instance_id in self.instances:
             inst = self.instances[instance_id]
             if not isinstance(inst["starts"], list):
                 continue
             starts = np.concatenate(inst["starts"])
-            if self.axis == "yz":
-                starts, runs = rle_encode(np.sort(starts, kind="stable"))
-            else:
-                runs = np.concatenate(inst["runs"])
-                order = np.argsort(starts, kind="stable")
-                starts = starts[order]
-                runs = runs[order]
+            runs = np.concatenate(inst["runs"])
+            order = np.argsort(starts, kind="stable")
+            starts = starts[order]
+            runs = runs[order]
             inst["starts"] = starts
             inst["runs"] = runs
         self.finished = True
