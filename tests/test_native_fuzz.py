@@ -348,3 +348,56 @@ def test_match_flat_core_fuzz():
             assert np.array_equal(a.offsets, b.offsets), trial
             assert np.array_equal(a.starts, b.starts), trial
             assert np.array_equal(a.runs, b.runs), trial
+
+
+def test_match_sweep_fuzz():
+    """Native whole-sweep matcher (csrc match_sweep: build + forward +
+    backward in one call) vs the Python patterns.py loops: byte-identical
+    per-slice backward results on random blob stacks packed the way the
+    device ships them (ops.postprocess.encode_runs_packed layout)."""
+    from empanada_tpu.stitch.patterns import (apply_matchers_flat,
+                                              backward_matching,
+                                              build_flat_seg,
+                                              create_matchers)
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    h = w = 48
+    for trial in range(6):
+        n_slices = int(rng.integers(3, 9))
+        rows = np.zeros((n_slices, h, 2 * 16 + 1), np.int16)
+        for s in range(n_slices):
+            seg = np.zeros((h, w), np.int64)
+            for i in range(int(rng.integers(0, 7))):
+                cy, cx = rng.integers(4, h - 4), rng.integers(4, w - 4)
+                ry, rx = rng.integers(2, 7), rng.integers(2, 7)
+                yy, xx = np.ogrid[:h, :w]
+                m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
+                seg[m] = 1001 + i
+            # pack rows like encode_runs_packed: [starts(R) | values | count]
+            for y in range(h):
+                b = np.flatnonzero(np.concatenate(
+                    [[True], seg[y][1:] != seg[y][:-1]]))
+                cnt = len(b)
+                assert cnt <= 16
+                rows[s, y, :cnt] = b
+                rows[s, y, 16:16 + cnt] = seg[y][b]
+                rows[s, y, -1] = cnt
+        # python reference
+        matchers = create_matchers((1,), 1000, 0.25, 0.25)
+        stack = []
+        for s in range(n_slices):
+            fseg = build_flat_seg(("packed", rows[s], w), [1], 1000, (1,),
+                                  True)
+            stack.append(apply_matchers_flat(fseg, matchers))
+        ref = {}
+        for idx, fseg in backward_matching(stack, matchers, n_slices):
+            f = fseg[1]
+            ref[idx] = (f.labels, f.boxes, f.offsets, f.starts, f.runs)
+        res = native.match_sweep(rows, w, 1000, 2000, True, 0.25, 0.25, 1001)
+        assert isinstance(res, list)
+        for idx in range(n_slices):
+            for i in range(5):
+                assert np.array_equal(ref[idx][i], res[idx][i]), (trial, idx, i)
