@@ -42,11 +42,14 @@ HBM traffic, memory-bound under any schedule (its own roofline ceiling
 is ~0.20).  int8 weights cannot move it (it is activation-traffic-bound),
 which is consistent with the e2e int8 null result above.
 
-Secondary recorded numbers (not in the JSON line): the full 3D pipeline
-(MultiChipEngine3d on 64x512x512 uint8, incl. host RLE/matching/fill and
-the dev tunnel's host<->device transfer tax) runs at 5.2 Mvox/s end-to-end
-on this setup — 37x the reference CPU-torch slice rate; device compute is
-~0.3 s of the 3.2 s, so co-located hardware is transfer-bound far later.
+Secondary recorded numbers (in the JSON line as value_3d/value_ortho/
+spatial/train): the full 3D pipeline (MultiChipEngine3d on 64x512x512
+uint8, incl. host RLE/matching/fill and the dev tunnel's host<->device
+transfer tax) runs ~18-23 Mvox/s median-of-3 end-to-end (round 1: 5.2);
+ortho-plane consensus ~4.3 Mvox/s (round 4: 1.1 — whole-sweep scan
+fusion + the native match_sweep host path); device compute is ~0.2 s of
+the ~0.8 s 3D wall, so co-located hardware is transfer/host-bound far
+later than this tunnel.
 """
 
 import argparse
