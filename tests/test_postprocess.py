@@ -300,3 +300,68 @@ def test_find_instance_center_small_map():
     assert centers.shape == (256, 2) and valid.shape == (256,)
     assert int(valid.sum()) == 1
     assert tuple(np.asarray(centers[0], int)) == (2, 5)
+
+
+class TestLogitSpaceHardening:
+    """Round-5 exactness claims: hardening and the median may run in logit
+    space without ever materializing probabilities (ops/postprocess.py
+    harden_logits / to_median_space / harden_median_space)."""
+
+    def test_harden_logits_equals_prob_path_binary(self):
+        rng = np.random.default_rng(0)
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.normal(0, 2, (2, 33, 17, 1)), dtype)
+            for thr in (0.5, 0.3, 0.9):
+                a = np.asarray(pp.harden_logits(x, thr))
+                b = np.asarray(pp.harden_seg(pp.logits_to_prob(x), thr))
+                diff = a != b
+                if dtype == jnp.float32:
+                    assert not diff.any(), thr
+                else:
+                    # bf16 rounding places near-boundary pixels on the wrong
+                    # side of the probability comparison (both the computed
+                    # sigmoid and the threshold literal round); the logit
+                    # path decides them the exact-arithmetic way, so any
+                    # disagreement must sit within one bf16 ulp of the
+                    # threshold (harden_logits docstring)
+                    if diff.any():
+                        prob = np.asarray(pp.logits_to_prob(x), np.float32)
+                        band = np.abs(prob[..., 0][diff] - thr)
+                        assert (band < 0.005).all(), (thr, band.max())
+
+    def test_harden_logits_equals_prob_path_multiclass(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 2, (1, 9, 9, 4)), jnp.float32)
+        a = pp.harden_logits(x)
+        b = pp.harden_seg(pp.logits_to_prob(x))
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_median_space_binary_commutes(self):
+        """Odd-window median is a per-pixel SELECTION, so medianing raw
+        logits then hardening equals medianing sigmoid probabilities then
+        hardening — bit-exact, the basis for the probability-free 3D
+        pipeline."""
+        rng = np.random.default_rng(2)
+        stack = jnp.asarray(rng.normal(0, 2, (5, 1, 8, 8, 1)), jnp.bfloat16)
+        med_logits = jnp.median(jnp.stack(
+            [pp.to_median_space(s) for s in stack]), axis=0)
+        med_probs = jnp.median(jnp.stack(
+            [pp.logits_to_prob(s) for s in stack]), axis=0)
+        a = pp.harden_median_space(med_logits, 0.5)
+        b = pp.harden_seg(med_probs, 0.5)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_median_space_multiclass_keeps_probs(self):
+        """Multiclass median does NOT commute through softmax (channels
+        median independently) — to_median_space must return probabilities
+        there, reproducing the reference's median-of-probs exactly."""
+        rng = np.random.default_rng(3)
+        stack = jnp.asarray(rng.normal(0, 2, (3, 1, 6, 6, 3)), jnp.float32)
+        med = jnp.median(jnp.stack(
+            [pp.to_median_space(s) for s in stack]), axis=0)
+        ref = jnp.median(jnp.stack(
+            [pp.logits_to_prob(s) for s in stack]), axis=0)
+        assert np.allclose(np.asarray(med), np.asarray(ref))
+        a = pp.harden_median_space(med, 0.5)
+        b = pp.harden_seg(ref, 0.5)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
